@@ -16,7 +16,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from vggsfm_tpu.utils.precision import f32_matmuls
 
+
+@f32_matmuls
 def align_camera_extrinsics(
     cameras_src: jax.Array,
     cameras_tgt: jax.Array,
@@ -62,6 +65,7 @@ def align_camera_extrinsics(
     return align_R, align_T, align_s
 
 
+@f32_matmuls
 def apply_transformation(
     cameras_src: jax.Array,
     align_R: jax.Array,

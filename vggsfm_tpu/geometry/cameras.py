@@ -28,6 +28,8 @@ from vggsfm_tpu.geometry.rotations import (
 )
 from vggsfm_tpu.geometry.distortion import apply_distortion, undistort_points
 
+from vggsfm_tpu.utils.precision import f32_matmuls
+
 
 def build_intrinsics(focal_length: jax.Array, principal_point: jax.Array) -> jax.Array:
     """(..., 2) focal + (..., 2) principal point -> (..., 3, 3) K matrix.
@@ -42,6 +44,7 @@ def build_intrinsics(focal_length: jax.Array, principal_point: jax.Array) -> jax
     return K.reshape(focal_length.shape[:-1] + (3, 3))
 
 
+@f32_matmuls
 def se3_inverse(extrinsic: jax.Array) -> jax.Array:
     """Closed-form inverse of (..., 3, 4) or (..., 4, 4) world->cam transforms.
 
@@ -62,6 +65,7 @@ def se3_inverse(extrinsic: jax.Array) -> jax.Array:
     return top
 
 
+@f32_matmuls
 def se3_compose(a: jax.Array, b: jax.Array) -> jax.Array:
     """Compose (..., 3, 4) transforms: result maps x -> a(b(x))."""
     Ra, ta = a[..., :3, :3], a[..., :3, 3:4]
@@ -71,6 +75,7 @@ def se3_compose(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.concatenate([R, t], axis=-1)
 
 
+@f32_matmuls
 def camera_centers(extrinsic: jax.Array) -> jax.Array:
     """Projection centers C = -Rᵀ t of (..., 3, 4) extrinsics -> (..., 3)."""
     R = extrinsic[..., :3, :3]
@@ -78,6 +83,7 @@ def camera_centers(extrinsic: jax.Array) -> jax.Array:
     return -(jnp.swapaxes(R, -1, -2) @ t)[..., 0]
 
 
+@f32_matmuls
 def img_from_cam(
     intrinsics: jax.Array,
     points_cam: jax.Array,
@@ -100,6 +106,7 @@ def img_from_cam(
     return jnp.swapaxes(pix, -1, -2)
 
 
+@f32_matmuls
 def project_points(
     points3D: jax.Array,
     extrinsics: jax.Array,
@@ -175,6 +182,7 @@ def _opencv_to_pt3d(R: jax.Array, T: jax.Array):
     return R_pt, T_pt
 
 
+@f32_matmuls
 def pose_encoding_to_extri_intri(
     pose_encoding: jax.Array,
     image_size_hw: jax.Array,
@@ -218,6 +226,7 @@ def pose_encoding_to_extri_intri(
     return extrinsics, intrinsics
 
 
+@f32_matmuls
 def extri_intri_to_pose_encoding(
     extrinsics: jax.Array,
     intrinsics: jax.Array,

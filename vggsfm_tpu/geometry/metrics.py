@@ -16,6 +16,8 @@ import jax.numpy as jnp
 from vggsfm_tpu.geometry.rotations import so3_geodesic_angle
 from vggsfm_tpu.geometry.cameras import se3_inverse, se3_compose
 
+from vggsfm_tpu.utils.precision import f32_matmuls
+
 
 def rotation_angle_deg(R1: jax.Array, R2: jax.Array) -> jax.Array:
     """Geodesic angle between batched rotations, in degrees."""
@@ -47,6 +49,7 @@ def _pair_indices(S: int):
     return i, j, mask
 
 
+@f32_matmuls
 def relative_pose_errors(
     pred_extrinsics: jax.Array, gt_extrinsics: jax.Array
 ):
