@@ -114,22 +114,27 @@ def quaternion_invert(q: jax.Array) -> jax.Array:
     return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
 
 
-def axis_angle_to_matrix(axis_angle: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """Rodrigues formula: axis-angle vectors (..., 3) to matrices (..., 3, 3)."""
-    angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
-    safe = jnp.maximum(angle, eps)
-    axis = axis_angle / safe
-    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+def axis_angle_to_matrix(axis_angle: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Rodrigues formula: axis-angle vectors (..., 3) to matrices (..., 3, 3).
+
+    Written as ``I + A(θ) K + B(θ) K²`` with K built from the *raw* vector
+    and A = sinθ/θ, B = (1-cosθ)/θ² Taylor-expanded near zero, so the map is
+    smooth (and forward-differentiable) at ω = 0 — the exact linearization
+    point of the bundle adjuster's pose updates.
+    """
+    x, y, z = axis_angle[..., 0], axis_angle[..., 1], axis_angle[..., 2]
     zero = jnp.zeros_like(x)
     K = jnp.stack(
         [zero, -z, y, z, zero, -x, -y, x, zero], axis=-1
     ).reshape(axis_angle.shape[:-1] + (3, 3))
-    s = jnp.sin(angle)[..., None]
-    c = jnp.cos(angle)[..., None]
+    theta2 = jnp.sum(axis_angle * axis_angle, axis=-1)[..., None, None]
+    theta = jnp.sqrt(jnp.maximum(theta2, eps * eps))
+    small = theta2 < eps * eps
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, eps * eps))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=axis_angle.dtype), K.shape)
-    R = eye + s * K + (1.0 - c) * (K @ K)
-    # angle ~ 0 -> identity (first-order: I + K_raw where K_raw uses raw vector)
-    return jnp.where(angle[..., None] < eps, eye, R)
+    return eye + A * K + B * (K @ K)
 
 
 def so3_geodesic_angle(R1: jax.Array, R2: jax.Array, eps: float = 1e-7) -> jax.Array:
