@@ -1,0 +1,138 @@
+"""Camera pose regressor: DINOv2 features + attention trunk (Flax).
+
+Parity: vggsfm/models/camera_predictor.py:40-303. Outputs the
+``absT_quaR_OneFL`` pose encoding (translation, quaternion, single focal in
+NDC); conversion to OpenCV extrinsics/intrinsics lives in
+vggsfm_tpu.geometry.cameras.pose_encoding_to_extri_intri.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vggsfm_tpu.models.dinov2 import DinoVisionTransformer
+from vggsfm_tpu.models.embeddings import (
+    get_2d_sincos_pos_embed,
+    harmonic_embedding,
+)
+from vggsfm_tpu.models.layers import AttnBlock, CrossAttnBlock, Mlp
+from vggsfm_tpu.models.sampling import interpolate_bilinear
+
+_RESNET_MEAN = jnp.array([0.485, 0.456, 0.406])
+_RESNET_STD = jnp.array([0.229, 0.224, 0.225])
+
+
+class CameraPredictor(nn.Module):
+    hidden_size: int = 768
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    z_dim: int = 768
+    down_size: int = 336
+    att_depth: int = 8
+    trunk_depth: int = 4
+    target_dim: int = 8  # absT_quaR_OneFL
+
+    def setup(self):
+        self.backbone = DinoVisionTransformer()
+        self.input_transform = Mlp(self.z_dim, self.hidden_size,
+                                   name="input_transform")
+        self.pose_token = self.param("pose_token",
+                                     nn.initializers.normal(1e-6),
+                                     (1, 1, 1, self.hidden_size))
+        self.self_att = [
+            AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
+                      name=f"self_att_{i}") for i in range(self.att_depth)]
+        self.cross_att = [
+            CrossAttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
+                           name=f"cross_att_{i}")
+            for i in range(self.att_depth)]
+        self.trunk = [
+            AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
+                      name=f"trunk_{i}") for i in range(self.trunk_depth)]
+        self.pose_branch = Mlp(self.hidden_size * 2,
+                               self.hidden_size + self.target_dim,
+                               name="pose_branch")
+        self.ffeat_updater = nn.Dense(self.hidden_size,
+                                      name="ffeat_updater")
+
+    def _norm(self, x):
+        # LayerNorm without affine (camera_predictor.py:75-77)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + 1e-6)
+
+    def _embed_pose(self, pose_enc):
+        """PoseEmbedding: harmonic embed sized to hidden
+        (camera_predictor.py:79-84)."""
+        n_harm = (self.hidden_size // self.target_dim) // 2
+        return harmonic_embedding(pose_enc, n_harm, append_input=False)
+
+    def get_2d_image_features(self, images):
+        """(B, S, H, W, 3) in [0,1] -> per-frame pose-token features (B,S,C).
+
+        Parity: camera_predictor.py:241-303 — DINOv2 patch tokens, learned
+        transform, sincos pos-embed, pose token, then att_depth rounds of
+        (self-attention over all frame tokens; cross-attention of non-query
+        frames to the query frame).
+        """
+        B, S, H, W, _ = images.shape
+        x = images.reshape(B * S, H, W, 3)
+        if (H, W) != (self.down_size, self.down_size):
+            x = interpolate_bilinear(x, (self.down_size, self.down_size))
+        x = (x - _RESNET_MEAN) / _RESNET_STD
+
+        feat = self.backbone(x)  # (B*S, P, z_dim)
+        feat = jax.lax.stop_gradient(feat)  # frozen backbone
+        feat = self.input_transform(feat)
+        feat = self._norm(feat)
+
+        P = feat.shape[1]
+        C = self.hidden_size
+        patch = int(P ** 0.5)
+        pos = get_2d_sincos_pos_embed(C, (patch, patch)).reshape(1, P, C)
+        feat = (feat + pos).reshape(B, S, P, C)
+
+        token = jnp.broadcast_to(self.pose_token, (B, S, 1, C))
+        feat = jnp.concatenate([token, feat], axis=2)
+        P1 = P + 1
+
+        for idx in range(self.att_depth):
+            f = feat.reshape(B * S, P1, C)
+            f = self.self_att[idx](f)
+            feat = f.reshape(B, S, P1, C)
+            feat_0 = feat[:, 0]
+            others = feat[:, 1:].reshape(B, (S - 1) * P1, C)
+            others = self.cross_att[idx](others, feat_0)
+            feat = jnp.concatenate(
+                [feat[:, 0:1], others.reshape(B, S - 1, P1, C)], axis=1)
+
+        return feat[:, :, 0]  # pose token per frame
+
+    def __call__(self, images, iters: int = 4, rgb_feat_init=None):
+        """Returns dict with ``pred_pose_enc`` (B, S, 8) and
+        ``rgb_feat_init`` for reuse across query orderings
+        (parity: camera_predictor.py:147-180)."""
+        if rgb_feat_init is None:
+            rgb_feat = self.get_2d_image_features(images)
+        else:
+            rgb_feat = rgb_feat_init
+        B, S, C = rgb_feat.shape
+        feat_init = rgb_feat
+
+        pose_enc = jnp.zeros((B, S, self.target_dim), rgb_feat.dtype)
+        for _ in range(iters):
+            pose_enc = jax.lax.stop_gradient(pose_enc)
+            rgb_feat = rgb_feat + self._embed_pose(pose_enc)
+            for blk in self.trunk:
+                rgb_feat = blk(rgb_feat)
+            delta = self.pose_branch(rgb_feat)
+            delta_pose = delta[..., : self.target_dim]
+            delta_feat = delta[..., self.target_dim:]
+            rgb_feat = nn.gelu(self.ffeat_updater(self._norm(delta_feat)),
+                               approximate=False) + rgb_feat
+            pose_enc = pose_enc + delta_pose
+            rgb_feat = (rgb_feat + feat_init) / 2
+
+        return {"pred_pose_enc": pose_enc, "rgb_feat_init": feat_init}

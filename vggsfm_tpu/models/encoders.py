@@ -1,0 +1,70 @@
+"""CNN feature encoders for the tracker (Flax, NHWC).
+
+Parity: vggsfm/models/track_modules/blocks.py:25-183 —
+`BasicEncoder`: stride-4 residual pyramid fused into a 128-d feature map
+for coarse tracking; `ShallowEncoder`: tiny stride-1 net for 31x31 fine
+patches. InstanceNorm is parameterless (torch affine=False), so the only
+parameters are convolutions — ideal for direct checkpoint conversion
+(transpose OIHW -> HWIO).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+
+from vggsfm_tpu.models.layers import ResidualBlock, instance_norm
+from vggsfm_tpu.models.sampling import interpolate_bilinear
+
+
+class BasicEncoder(nn.Module):
+    """(B, H, W, 3) -> (B, H/stride, W/stride, output_dim)."""
+
+    output_dim: int = 128
+    stride: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        _, H, W, _ = x.shape
+        d = self.output_dim
+        x = nn.Conv(d // 2, (7, 7), strides=(2, 2), padding=3,
+                    name="conv1")(x)
+        x = nn.relu(instance_norm(x))
+
+        def layer(x, dim, stride, name):
+            x = ResidualBlock(dim, stride, name=f"{name}_0")(x)
+            return ResidualBlock(dim, 1, name=f"{name}_1")(x)
+
+        a = layer(x, d // 2, 1, "layer1")
+        b = layer(a, d // 4 * 3, 2, "layer2")
+        c = layer(b, d, 2, "layer3")
+        e = layer(c, d, 2, "layer4")
+
+        hw = (H // self.stride, W // self.stride)
+        fused = jax.numpy.concatenate(
+            [interpolate_bilinear(t, hw) for t in (a, b, c, e)], axis=-1)
+        x = nn.Conv(d * 2, (3, 3), padding=1, name="conv2")(fused)
+        x = nn.relu(instance_norm(x))
+        return nn.Conv(d, (1, 1), name="conv3")(x)
+
+
+class ShallowEncoder(nn.Module):
+    """(B, H, W, 3) -> (B, H/stride, W/stride, output_dim), stride 1 default."""
+
+    output_dim: int = 32
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        _, H, W, _ = x.shape
+        d = self.output_dim
+        x = nn.Conv(d, (3, 3), strides=(2, 2), padding=1, name="conv1")(x)
+        x = nn.relu(instance_norm(x))
+
+        hw = x.shape[1:3]
+        tmp = ResidualBlock(d, 2, name="layer1")(x)
+        x = x + interpolate_bilinear(tmp, hw)
+        tmp = ResidualBlock(d, 2, name="layer2")(tmp)
+        x = x + interpolate_bilinear(tmp, hw)
+        x = nn.Conv(d, (1, 1), name="conv2")(x) + x
+        return interpolate_bilinear(x, (H // self.stride, W // self.stride))

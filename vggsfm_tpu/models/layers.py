@@ -1,0 +1,156 @@
+"""Shared NN building blocks (Flax, channels-last).
+
+Parity: vggsfm/models/modules.py (ResidualBlock :39-116, Mlp :119-154,
+AttnBlock :157-204, CrossAttnBlock :207-253). Notable behavioral quirks kept
+for weight-compatibility:
+  * AttnBlock/CrossAttnBlock use the *normalized* input as the residual base
+    (the reference applies norm1 in-place before the residual add);
+  * attention norms have no affine parameters (elementwise_affine=False);
+  * the attention is torch-`nn.MultiheadAttention`-shaped: packed QKV
+    projection + output projection, so converted checkpoints map 1:1.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class TorchMultiheadAttention(nn.Module):
+    """Multi-head attention matching torch.nn.MultiheadAttention layout.
+
+    Parameters: `in_proj` Dense(3*dim) (packed q|k|v) and `out_proj`.
+    Inputs are (B, L, C) (batch_first).
+    """
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        H = self.num_heads
+        D = self.dim // H
+        qkv = nn.Dense(3 * self.dim, name="in_proj")
+        # packed projection: split rows exactly like torch's in_proj_weight
+        wq = qkv(q)[..., : self.dim] if q is not k else None
+        if q is k and k is v:
+            proj = qkv(q)
+            xq, xk, xv = jnp.split(proj, 3, axis=-1)
+        else:
+            # cross attention: same packed kernel, applied separately
+            full_q = qkv(q)
+            full_k = qkv(k)
+            full_v = qkv(v)
+            xq = full_q[..., : self.dim]
+            xk = full_k[..., self.dim: 2 * self.dim]
+            xv = full_v[..., 2 * self.dim:]
+        del wq
+
+        def split_heads(x):
+            B, L, _ = x.shape
+            return x.reshape(B, L, H, D).transpose(0, 2, 1, 3)
+
+        xq, xk, xv = split_heads(xq), split_heads(xk), split_heads(xv)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", xq, xk) / jnp.sqrt(D)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, xv)
+        B, _, L, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, self.dim)
+        return nn.Dense(self.dim, name="out_proj")(out)
+
+
+class Mlp(nn.Module):
+    """Linear -> GELU -> Linear (timm-style). Parity: modules.py:119-154."""
+
+    hidden_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_features, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out_features, name="fc2")(x)
+
+
+class AttnBlock(nn.Module):
+    """Pre-LN self-attention + MLP. Parity: modules.py:157-204."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                         name="norm1")(x)
+        x = x + TorchMultiheadAttention(
+            self.hidden_size, self.num_heads, name="attn")(x, x, x)
+        y = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                         name="norm2")(x)
+        return x + Mlp(int(self.hidden_size * self.mlp_ratio),
+                       self.hidden_size, name="mlp")(y)
+
+
+class CrossAttnBlock(nn.Module):
+    """Cross-attention block. Parity: modules.py:207-253."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                         name="norm1")(x)
+        context = nn.LayerNorm(epsilon=1e-5, name="norm_context")(context)
+        x = x + TorchMultiheadAttention(
+            self.hidden_size, self.num_heads, name="cross_attn")(
+                x, context, context)
+        y = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                         name="norm2")(x)
+        return x + Mlp(int(self.hidden_size * self.mlp_ratio),
+                       self.hidden_size, name="mlp")(y)
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Parameterless InstanceNorm over spatial dims, NHWC.
+
+    torch nn.InstanceNorm2d defaults to affine=False — it is pure
+    normalization (modules.py uses it throughout the encoders).
+    """
+    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+    var = jnp.var(x, axis=(-3, -2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class ResidualBlock(nn.Module):
+    """Two 3x3 convs with residual + optional strided 1x1 downsample.
+
+    Parity: modules.py:39-116 (norm_fn='instance' is the only mode used by
+    the encoders, which is parameterless).
+    """
+
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                    padding=1, name="conv1")(x)
+        y = nn.relu(instance_norm(y))
+        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2")(y)
+        y = nn.relu(instance_norm(y))
+        if self.stride != 1:
+            x = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                        name="downsample")(x)
+            x = instance_norm(x)
+        return nn.relu(x + y)
+
+
+def group_norm_1(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                 eps: float = 1e-5) -> jax.Array:
+    """GroupNorm(num_groups=1) over the channel axis with affine params."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias

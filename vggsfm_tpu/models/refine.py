@@ -1,0 +1,133 @@
+"""Fine track refinement on 31x31 patches + confidence scoring.
+
+Parity: vggsfm/models/track_modules/refine_track.py:24-294. The reference
+extracts patches with `unfold` (materializing every sliding window, then
+indexing); on TPU we gather exactly the N needed windows per frame with a
+vectorized integer gather — same floored-corner + fractional-offset scheme,
+without the (H*W*psize^2) unfold blow-up. Patch extraction clamps x and y
+independently (the reference assumes H == W, refine_track.py:110-113).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def extract_patches(images: jax.Array, centers: jax.Array, pradius: int):
+    """Gather psize x psize patches at integer-floored window corners.
+
+    Args:
+      images: (B, S, H, W, C).
+      centers: (B, S, N, 2) xy patch centers (float pixels).
+      pradius: patch radius; psize = 2*pradius + 1.
+
+    Returns (patches (B, S, N, psize, psize, C), topleft (B, S, N, 2) the
+    *unclamped* integer corners used to map patch coords back to image
+    coords).
+    """
+    B, S, H, W, C = images.shape
+    N = centers.shape[2]
+    psize = 2 * pradius + 1
+
+    track_int = jnp.floor(centers).astype(jnp.int32)
+    topleft_raw = track_int - pradius
+    tl_x = jnp.clip(topleft_raw[..., 0], 0, W - psize)
+    tl_y = jnp.clip(topleft_raw[..., 1], 0, H - psize)
+
+    dy, dx = jnp.meshgrid(jnp.arange(psize), jnp.arange(psize),
+                          indexing="ij")
+    ys = tl_y[..., None, None] + dy  # (B,S,N,p,p)
+    xs = tl_x[..., None, None] + dx
+    flat_idx = (ys * W + xs).reshape(B * S, N * psize * psize)
+
+    flat_img = images.reshape(B * S, H * W, C)
+    patches = jnp.take_along_axis(flat_img, flat_idx[..., None], axis=1)
+    patches = patches.reshape(B, S, N, psize, psize, C)
+    topleft = jnp.stack([tl_x, tl_y], axis=-1)
+    return patches, topleft
+
+
+def refine_track(images, fine_fnet_apply, fine_tracker_apply, coarse_pred,
+                 compute_score: bool = True, pradius: int = 15,
+                 sradius: int = 2, fine_iters: int = 6):
+    """Refine coarse tracks on local patches with the fine tracker.
+
+    Args:
+      images: (B, S, H, W, 3) in [0, 1].
+      fine_fnet_apply: (B', psize, psize, 3) -> (B', psize, psize, C)
+        bound ShallowEncoder apply.
+      fine_tracker_apply: (query_points, fmaps, iters, return_feat) ->
+        (coord_preds, vis, track_feats, query_feats) bound fine
+        BaseTrackerPredictor apply.
+      coarse_pred: (B, S, N, 2) coarse track positions.
+
+    Returns (refined_tracks (B, S, N, 2), score (B, S, N) or None).
+    """
+    B, S, N, _ = coarse_pred.shape
+    psize = 2 * pradius + 1
+
+    patches, topleft = extract_patches(images, coarse_pred, pradius)
+    patch_feat = fine_fnet_apply(
+        patches.reshape(B * S * N, psize, psize, 3))
+    C_out = patch_feat.shape[-1]
+    # (B*N, S, psize, psize, C): each track becomes its own "video"
+    patch_feat = patch_feat.reshape(B, S, N, psize, psize, C_out)
+    patch_fmaps = patch_feat.transpose(0, 2, 1, 3, 4, 5).reshape(
+        B * N, S, psize, psize, C_out)
+
+    # query point inside its patch = fractional offset + pradius
+    track_frac = coarse_pred - jnp.floor(coarse_pred)
+    patch_query = (track_frac[:, 0] + pradius).reshape(B * N, 1, 2)
+
+    coord_preds, _, _, query_feat = fine_tracker_apply(
+        patch_query, patch_fmaps, fine_iters, True)
+
+    fine_patch_track = coord_preds[-1]  # (B*N, S, 1, 2) patch coords
+    fine_level = fine_patch_track.reshape(B, N, S, 2).transpose(0, 2, 1, 3)
+    refined = fine_level + topleft
+    refined = refined.at[:, 0].set(coarse_pred[:, 0])
+
+    score = None
+    if compute_score:
+        score = compute_score_fn(query_feat, patch_feat, fine_patch_track,
+                                 sradius, psize, B, N, S, C_out)
+    return refined, score
+
+
+def compute_score_fn(query_feat, patch_feat, fine_patch_track, sradius,
+                     psize, B, N, S, C_out):
+    """Confidence = spread (std) of the local similarity heatmap.
+
+    Parity: refine_track.py:190-294 (kornia dsnt soft-argmax inlined).
+    Low std ~ a peaked, unambiguous match.
+    """
+    ssize = 2 * sradius + 1
+
+    # small ssize x ssize windows of patch features at the refined position
+    centers = fine_patch_track.reshape(B, N, S, 2).transpose(0, 2, 1, 3)
+    flat_patch = patch_feat.reshape(B, S, N, psize * psize, C_out)
+    tl = jnp.clip(jnp.floor(centers).astype(jnp.int32) - sradius, 0,
+                  psize - ssize)
+    dy, dx = jnp.meshgrid(jnp.arange(ssize), jnp.arange(ssize),
+                          indexing="ij")
+    ys = tl[..., 1, None, None] + dy
+    xs = tl[..., 0, None, None] + dx
+    idx = (ys * psize + xs).reshape(B, S, N, ssize * ssize)
+    windows = jnp.take_along_axis(flat_patch, idx[..., None], axis=3)
+    # (B, S, N, ssize*ssize, C)
+
+    qf = query_feat.reshape(B, N, C_out)
+    sim = jnp.einsum("bnc,bsnrc->bsnr", qf, windows[:, 1:])
+    heat = jax.nn.softmax(sim / jnp.sqrt(C_out), axis=-1)
+
+    # normalized [-1, 1] grid, soft-argmax spread
+    lin = jnp.linspace(-1.0, 1.0, ssize)
+    gx, gy = jnp.meshgrid(lin, lin, indexing="xy")
+    grid = jnp.stack([gx, gy], axis=-1).reshape(ssize * ssize, 2)
+    mean = jnp.einsum("bsnr,rd->bsnd", heat, grid)
+    second = jnp.einsum("bsnr,rd->bsnd", heat, grid**2)
+    var = second - mean**2
+    std = jnp.sum(jnp.sqrt(jnp.clip(var, 1e-10)), axis=-1)  # (B, S-1, N)
+
+    return jnp.concatenate([jnp.ones_like(std[:, :1]), std], axis=1)

@@ -1,0 +1,320 @@
+"""CoTracker-style iterative track transformer (Flax).
+
+Parity: vggsfm/models/track_modules/blocks.py:192-471 (EfficientUpdateFormer,
+correlation blocks) and base_track_predictor.py:15-238, track_predictor.py.
+
+TPU redesign notes:
+  * correlation uses the fused sample-then-dot form (the reference's
+    `EfficientCorrBlock`, blocks.py:419-471): bilinear interpolation is
+    linear, so sampling the correlation surface equals dotting the sampled
+    feature neighborhood with the track feature — this avoids materializing
+    the (B,S,N,H,W) correlation volume entirely and is mathematically equal
+    to the default `CorrBlock` path;
+  * the iteration loop is a static Python unroll (6 iters) inside one jit;
+  * everything is batched (B, S frames, N tracks) with N as the natural
+    mesh-sharding axis (attention factorizes per-track over time and
+    per-frame over tracks — no cross term).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vggsfm_tpu.models.embeddings import (
+    get_2d_embedding,
+    get_2d_sincos_pos_embed,
+)
+from vggsfm_tpu.models.encoders import BasicEncoder, ShallowEncoder
+from vggsfm_tpu.models.layers import AttnBlock, CrossAttnBlock, group_norm_1
+from vggsfm_tpu.models.sampling import (
+    bilinear_sample,
+    interpolate_bilinear,
+    sample_features4d,
+)
+
+
+def build_corr_pyramid(fmaps: jax.Array, num_levels: int) -> list:
+    """(B, S, H, W, C) -> list of `num_levels` maps, 2x avg-pooled each."""
+    pyramid = [fmaps]
+    B, S, H, W, C = fmaps.shape
+    x = fmaps.reshape(B * S, H, W, C)
+    for _ in range(num_levels - 1):
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        h, w = x.shape[1:3]
+        pyramid.append(x.reshape(B, S, h, w, C))
+    return pyramid
+
+
+def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
+                radius: int) -> jax.Array:
+    """Fused neighborhood-sample + dot correlation.
+
+    Args:
+      pyramid: list of (B, S, Hi, Wi, C) feature maps.
+      coords: (B, S, N, 2) track positions at level-0 scale.
+      track_feats: (B, S, N, C).
+
+    Returns (B, S, N, L*(2r+1)^2) correlation features.
+    """
+    B, S, N, _ = coords.shape
+    C = track_feats.shape[-1]
+    r = radius
+    d = jnp.arange(-r, r + 1, dtype=coords.dtype)
+    dx, dy = jnp.meshgrid(d, d, indexing="xy")
+    delta = jnp.stack([dx, dy], axis=-1).reshape(-1, 2)  # (K, 2), row-major y
+
+    out = []
+    for i, fmap in enumerate(pyramid):
+        _, _, H, W, _ = fmap.shape
+        centers = coords / (2.0 ** i)
+        pts = centers[..., None, :] + delta  # (B,S,N,K,2)
+        fm = fmap.reshape(B * S, H, W, C)
+        pts_f = pts.reshape(B * S, N * delta.shape[0], 2)
+        nbhd = bilinear_sample(fm, pts_f, padding_mode="zeros")
+        nbhd = nbhd.reshape(B, S, N, delta.shape[0], C)
+        corr = jnp.einsum("bsnkc,bsnc->bsnk", nbhd, track_feats)
+        out.append(corr / jnp.sqrt(C).astype(corr.dtype))
+    return jnp.concatenate(out, axis=-1)
+
+
+class EfficientUpdateFormer(nn.Module):
+    """Factored time/space transformer with virtual-track tokens.
+
+    Parity: blocks.py:192-335.
+    """
+
+    space_depth: int = 6
+    time_depth: int = 6
+    hidden_size: int = 384
+    num_heads: int = 8
+    output_dim: int = 130
+    mlp_ratio: float = 4.0
+    add_space_attn: bool = True
+    num_virtual_tracks: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, N, T, input_dim) -> (B, N, T, output_dim)."""
+        B, N, T, _ = x.shape
+        V = self.num_virtual_tracks
+        tokens = nn.Dense(self.hidden_size, name="input_transform")(x)
+        init_tokens = tokens
+
+        if self.add_space_attn:
+            virtual = self.param(
+                "virtual_tracks", nn.initializers.normal(1.0),
+                (1, V, 1, self.hidden_size))
+            virtual = jnp.broadcast_to(virtual, (B, V, T, self.hidden_size))
+            tokens = jnp.concatenate([tokens, virtual], axis=1)
+        Ntot = tokens.shape[1]
+
+        j = 0
+        stride = (self.time_depth // self.space_depth
+                  if self.add_space_attn and self.space_depth else 1)
+        for i in range(self.time_depth):
+            tt = tokens.reshape(B * Ntot, T, self.hidden_size)
+            tt = AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
+                           name=f"time_blocks_{i}")(tt)
+            tokens = tt.reshape(B, Ntot, T, self.hidden_size)
+            if self.add_space_attn and i % stride == 0:
+                st = tokens.transpose(0, 2, 1, 3).reshape(
+                    B * T, Ntot, self.hidden_size)
+                point_t = st[:, : Ntot - V]
+                virt_t = st[:, Ntot - V:]
+                virt_t = CrossAttnBlock(
+                    self.hidden_size, self.num_heads, self.mlp_ratio,
+                    name=f"space_virtual2point_blocks_{j}")(virt_t, point_t)
+                virt_t = AttnBlock(
+                    self.hidden_size, self.num_heads, self.mlp_ratio,
+                    name=f"space_virtual_blocks_{j}")(virt_t)
+                point_t = CrossAttnBlock(
+                    self.hidden_size, self.num_heads, self.mlp_ratio,
+                    name=f"space_point2virtual_blocks_{j}")(point_t, virt_t)
+                st = jnp.concatenate([point_t, virt_t], axis=1)
+                tokens = st.reshape(B, T, Ntot, self.hidden_size).transpose(
+                    0, 2, 1, 3)
+                j += 1
+
+        if self.add_space_attn:
+            tokens = tokens[:, : Ntot - V]
+        tokens = tokens + init_tokens
+        return nn.Dense(self.output_dim, name="flow_head")(tokens)
+
+
+class BaseTrackerPredictor(nn.Module):
+    """Iterative track refinement head. Parity: base_track_predictor.py."""
+
+    stride: int = 4
+    corr_levels: int = 5
+    corr_radius: int = 4
+    latent_dim: int = 128
+    hidden_size: int = 384
+    use_spaceatt: bool = True
+    depth: int = 6
+    fine: bool = False
+
+    @property
+    def transformer_dim(self) -> int:
+        d = self.corr_levels * (self.corr_radius * 2 + 1) ** 2 \
+            + self.latent_dim * 2
+        if self.fine:
+            return d + (4 if d % 2 == 0 else 5)
+        return d + (4 - d % 4) % 4
+
+    @nn.compact
+    def __call__(self, query_points, fmaps, iters: int = 4,
+                 down_ratio: int = 1, return_feat: bool = False):
+        """query_points (B, N, 2) pixels; fmaps (B, S, HH, WW, C).
+
+        Returns (coord_predictions list, visibility (B, S, N) or None
+        [, track_feats, query_feats]).
+        """
+        B, N, _ = query_points.shape
+        _, S, HH, WW, C = fmaps.shape
+        assert C == self.latent_dim
+
+        scale = float(self.stride) * float(down_ratio)
+        qp = query_points / scale
+        coords = jnp.broadcast_to(qp[:, None], (B, S, N, 2))
+
+        query_feats = sample_features4d(fmaps[:, 0], qp)
+        track_feats = jnp.broadcast_to(query_feats[:, None], (B, S, N, C))
+
+        pyramid = build_corr_pyramid(fmaps, self.corr_levels)
+
+        tdim = self.transformer_dim
+        flows_emb_dim = self.latent_dim // 2
+
+        pos_grid = get_2d_sincos_pos_embed(tdim, (HH, WW))
+        pos_grid = jnp.broadcast_to(pos_grid, (B,) + pos_grid.shape[1:])
+        sampled_pos = bilinear_sample(pos_grid, qp)  # (B, N, tdim)
+
+        updateformer = EfficientUpdateFormer(
+            space_depth=self.depth if self.use_spaceatt else 0,
+            time_depth=self.depth,
+            hidden_size=self.hidden_size,
+            output_dim=self.latent_dim + 2,
+            add_space_attn=self.use_spaceatt,
+            name="updateformer")
+        ffeat_gn_scale = self.param("norm_scale", nn.initializers.ones,
+                                    (self.latent_dim,))
+        ffeat_gn_bias = self.param("norm_bias", nn.initializers.zeros,
+                                   (self.latent_dim,))
+        ffeat_dense = nn.Dense(self.latent_dim, name="ffeat_updater")
+
+        coord_preds = []
+        for _ in range(iters):
+            coords = jax.lax.stop_gradient(coords)
+            fcorrs = corr_sample(pyramid, coords, track_feats,
+                                 self.corr_radius)
+
+            flows = coords - coords[:, 0:1]  # (B,S,N,2)
+            flows_bn = flows.transpose(0, 2, 1, 3)  # (B,N,S,2)
+            flows_emb = get_2d_embedding(flows_bn, flows_emb_dim,
+                                         cat_coords=False)
+            flows_emb = jnp.concatenate([flows_emb, flows_bn], axis=-1)
+
+            fcorrs_bn = fcorrs.transpose(0, 2, 1, 3)  # (B,N,S,corrdim)
+            tfeats_bn = track_feats.transpose(0, 2, 1, 3)  # (B,N,S,C)
+
+            x = jnp.concatenate([flows_emb, fcorrs_bn, tfeats_bn], axis=-1)
+            pad = tdim - x.shape[-1]
+            if pad > 0:
+                x = jnp.concatenate(
+                    [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+            x = x + sampled_pos[:, :, None, :]
+
+            delta = updateformer(x)  # (B, N, S, latent+2)
+            delta_coords = delta[..., :2].transpose(0, 2, 1, 3)
+            delta_feats = delta[..., 2:]
+
+            df = delta_feats.reshape(-1, self.latent_dim)
+            df = group_norm_1(df, ffeat_gn_scale, ffeat_gn_bias)
+            df = nn.gelu(ffeat_dense(df), approximate=False)
+            track_feats = (tfeats_bn.reshape(-1, self.latent_dim)
+                           + df).reshape(B, N, S, self.latent_dim).transpose(
+                               0, 2, 1, 3)
+
+            coords = coords + delta_coords
+            coords = coords.at[:, 0].set(jnp.broadcast_to(qp, (B, N, 2)))
+            coord_preds.append(coords * scale)
+
+        if not self.fine:
+            vis = nn.Dense(1, name="vis_predictor")(
+                track_feats.reshape(-1, self.latent_dim))
+            vis = jax.nn.sigmoid(vis.reshape(B, S, N))
+        else:
+            vis = None
+
+        if return_feat:
+            return coord_preds, vis, track_feats, query_feats
+        return coord_preds, vis
+
+
+class TrackerPredictor(nn.Module):
+    """Coarse + fine two-stage tracker. Parity: track_predictor.py:21-155.
+
+    Submodules mirror the reference config (cfgs/demo.yaml:73-91): coarse
+    BasicEncoder(stride 4, down_ratio 2) + 6-layer space/time former; fine
+    ShallowEncoder(stride 1) + 4-layer time-only former on 31x31 patches.
+    """
+
+    coarse_stride: int = 4
+    coarse_down_ratio: int = 2
+
+    def setup(self):
+        self.coarse_fnet = BasicEncoder(output_dim=128,
+                                        stride=self.coarse_stride)
+        self.coarse_predictor = BaseTrackerPredictor(
+            stride=self.coarse_stride)
+        self.fine_fnet = ShallowEncoder(output_dim=32, stride=1)
+        self.fine_predictor = BaseTrackerPredictor(
+            stride=1, depth=4, corr_levels=3, corr_radius=3, latent_dim=32,
+            hidden_size=256, fine=True, use_spaceatt=False)
+
+    def init_all(self, images, query_points):
+        """Touch every submodule so `.init(..., method='init_all')` creates
+        the full parameter tree (linen materializes params lazily)."""
+        track, vis = self(images, query_points, coarse_iters=1)
+        B, S = images.shape[:2]
+        psize = 31
+        patches = jnp.zeros((B * S, psize, psize, 3), images.dtype)
+        pf = self.fine_fnet(patches)
+        pf = pf.reshape(B, S, psize, psize, -1)
+        pq = jnp.full((B, 1, 2), psize / 2.0, images.dtype)
+        self.fine_predictor(pq, pf, iters=1)
+        return track, vis
+
+    def apply_fine_fnet(self, patches):
+        return self.fine_fnet(patches)
+
+    def apply_fine_predictor(self, query_points, fmaps, iters, return_feat):
+        return self.fine_predictor(query_points, fmaps, iters=iters,
+                                   return_feat=return_feat)
+
+    def process_images_to_fmaps(self, images):
+        """(B, S, H, W, 3) in [0,1] -> (B, S, H', W', 128) coarse features."""
+        B, S, H, W, _ = images.shape
+        x = images.reshape(B * S, H, W, 3)
+        if self.coarse_down_ratio > 1:
+            x = interpolate_bilinear(
+                x, (H // self.coarse_down_ratio,
+                    W // self.coarse_down_ratio))
+        fmaps = self.coarse_fnet(x)
+        return fmaps.reshape((B, S) + fmaps.shape[1:])
+
+    def __call__(self, images, query_points, fmaps=None, coarse_iters=6):
+        """Coarse-only forward (fine refinement runs via refine_track).
+
+        Returns (coarse_pred_track (B,S,N,2), pred_vis (B,S,N)).
+        """
+        if fmaps is None:
+            fmaps = self.process_images_to_fmaps(images)
+        coord_preds, vis = self.coarse_predictor(
+            query_points, fmaps, iters=coarse_iters,
+            down_ratio=self.coarse_down_ratio)
+        return coord_preds[-1], vis

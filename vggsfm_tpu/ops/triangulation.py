@@ -396,6 +396,8 @@ def filter_points3d(
     min_tri_angle: float = 1.5,
     check_triangle: bool = True,
     hard_max: float = 300.0,
+    obs_mask: jax.Array | None = None,
+    return_detail: bool = True,
 ):
     """Validity mask for triangulated points by reprojection + tri-angle.
 
@@ -421,6 +423,8 @@ def filter_points3d(
     reproj2 = jnp.sum((proj - points2D) ** 2, axis=-1)
     reproj2 = jnp.where(points_cam[:, 2, :] <= 0, 1e6, reproj2)
     inlier = reproj2 <= max_reproj_error**2  # (B, P)
+    if obs_mask is not None:
+        inlier &= obs_mask
     valid_track = jnp.sum(inlier, axis=0) >= 2
     if hard_max > 0:
         valid_track &= jnp.all(jnp.abs(points3D) <= hard_max, axis=-1)
