@@ -1,0 +1,73 @@
+"""CLI demo: reconstruct a scene folder into a COLMAP sparse model.
+
+Parity: reference demo.py (hydra entry) — here a plain argparse CLI over
+the same knobs (cfgs/demo.yaml:6-67).
+
+Usage:
+    python demo.py SCENE_DIR=/path/to/scene [--output OUT] [--img-size N]
+    python demo.py /path/to/scene --no-fine-tracking
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("scene_dir", help="scene folder (images/ inside or bare)")
+    p.add_argument("--output", default=None,
+                   help="output dir (default: SCENE_DIR)")
+    p.add_argument("--img-size", type=int, default=1024)
+    p.add_argument("--query-frame-num", type=int, default=3)
+    p.add_argument("--max-query-pts", type=int, default=4096)
+    p.add_argument("--query-method", default="sift")
+    p.add_argument("--no-fine-tracking", action="store_true")
+    p.add_argument("--camera-type", default="SIMPLE_PINHOLE",
+                   choices=["SIMPLE_PINHOLE", "SIMPLE_RADIAL"])
+    p.add_argument("--shared-camera", action="store_true")
+    p.add_argument("--checkpoint", default=None,
+                   help="reference torch checkpoint to convert (optional)")
+    p.add_argument("--seed", type=int, default=0)
+    # accept hydra-style SCENE_DIR=... for muscle-memory compatibility
+    argv = [a.split("=", 1)[1] if a.startswith("SCENE_DIR=") else a
+            for a in argv]
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+
+    cfg = RunnerConfig(
+        img_size=args.img_size,
+        query_frame_num=args.query_frame_num,
+        max_query_pts=args.max_query_pts,
+        query_method=args.query_method,
+        fine_tracking=not args.no_fine_tracking,
+        camera_type=args.camera_type,
+        shared_camera=args.shared_camera,
+        checkpoint=args.checkpoint,
+        seed=args.seed,
+    )
+    runner = VGGSfMRunner(cfg)
+    out_dir = args.output or args.scene_dir
+    predictions = runner.run_scene(args.scene_dir, output_dir=out_dir)
+    summary = {
+        "frames": int(predictions["extrinsics"].shape[0]),
+        "valid_tracks": int(predictions["valid_tracks"].sum()),
+        "valid_frames": int(predictions["valid_frame_mask"].sum()),
+        "total_time_s": round(predictions["total_time"], 2),
+        "timings": {k: round(v, 2)
+                    for k, v in predictions["timings"].items()},
+        "output": out_dir,
+    }
+    print(json.dumps(summary))
+    return predictions
+
+
+if __name__ == "__main__":
+    main()

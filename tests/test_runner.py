@@ -1,0 +1,122 @@
+"""Extractor, loader and runner smoke tests (tiny shapes, CPU)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vggsfm_tpu.extractors import (
+    detect_dog_keypoints,
+    detect_harris_keypoints,
+    get_query_points,
+)
+from vggsfm_tpu.datasets.demo_loader import DemoLoader, pad_and_resize_image
+
+
+def checkerboard(h, w, sq=16):
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    board = (((yy // sq) + (xx // sq)) % 2).astype(np.float32)
+    # small noise breaks the perfect periodicity (strict NMS suppresses
+    # exactly-tied responses, which only happens on synthetic patterns)
+    board += np.random.default_rng(1).normal(scale=0.01, size=board.shape)
+    return board.astype(np.float32)
+
+
+class TestExtractors:
+    def test_harris_finds_checkerboard_corners(self):
+        img = checkerboard(128, 128)
+        xy, score, valid = detect_harris_keypoints(jnp.asarray(img), 256)
+        xy = np.asarray(xy)[np.asarray(valid)]
+        assert len(xy) > 20
+        # corners lie at multiples of 16 (within a couple px)
+        off = np.minimum(xy % 16, 16 - (xy % 16))
+        assert np.median(off) < 3
+
+    def test_dog_finds_blobs(self):
+        img = np.zeros((128, 128), np.float32)
+        rng = np.random.default_rng(0)
+        centers = rng.uniform(20, 108, size=(12, 2))
+        yy, xx = np.meshgrid(np.arange(128), np.arange(128), indexing="ij")
+        for cx, cy in centers:
+            img += np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 3.0**2))
+        xy, score, valid = detect_dog_keypoints(jnp.asarray(img), 64)
+        xy = np.asarray(xy)[np.asarray(valid)]
+        assert len(xy) >= 10
+        d = np.linalg.norm(xy[:, None] - centers[None], axis=-1).min(1)
+        # most detections land on a blob
+        assert np.median(d[:12]) < 4
+
+    def test_get_query_points_mask_and_bbox(self):
+        img = np.repeat(checkerboard(64, 64)[..., None], 3, axis=-1)
+        seg = np.zeros((64, 64), bool)
+        seg[:, :32] = True  # invalidate the left half
+        xy, valid = get_query_points(
+            jnp.asarray(img), jax.random.PRNGKey(0), "harris", 64,
+            seg_invalid_mask=jnp.asarray(seg))
+        xy, valid = np.asarray(xy), np.asarray(valid)
+        assert valid.sum() > 0
+        assert np.all(xy[valid][:, 0] >= 32)
+
+    def test_combined_methods(self):
+        img = np.repeat(checkerboard(64, 64)[..., None], 3, axis=-1)
+        xy, valid = get_query_points(
+            jnp.asarray(img), jax.random.PRNGKey(0), "sift+harris", 128)
+        assert xy.shape == (128, 2)
+
+
+class TestLoader:
+    def _make_scene(self, tmp_path, n=3, h=48, w=64):
+        from PIL import Image
+        d = tmp_path / "scene" / "images"
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            arr = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i:02d}.png")
+        return str(tmp_path / "scene")
+
+    def test_load_scene(self, tmp_path):
+        scene = self._make_scene(tmp_path)
+        loader = DemoLoader(scene, img_size=64)
+        data = loader.load()
+        assert data["images"].shape == (3, 64, 64, 3)
+        assert data["images"].dtype == np.float32
+        assert data["images"].max() <= 1.0
+        assert data["crop_params"].shape == (3, 8)
+        assert data["masks"] is None
+
+    def test_pad_and_resize_square_crop(self):
+        img = (np.ones((40, 80, 3)) * 255).astype(np.uint8)
+        img[:, :20] = 0  # left quarter black, cropped away by center square
+        out, _, params = pad_and_resize_image(img, 64)
+        assert out.shape == (64, 64, 3)
+        assert params[0] == 80 and params[1] == 40
+
+
+@pytest.mark.slow
+class TestRunnerSmoke:
+    def test_sparse_reconstruct_tiny(self, tmp_path):
+        """Machinery smoke test: random weights, tiny scene; asserts the
+        pipeline runs end-to-end and exports a readable COLMAP model."""
+        from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+        from vggsfm_tpu.io import read_model
+
+        rng = np.random.default_rng(0)
+        S, R = 3, 128
+        images = rng.uniform(size=(S, R, R, 3)).astype(np.float32)
+
+        cfg = RunnerConfig(img_size=R, query_frame_num=1, max_query_pts=64,
+                           query_method="harris", fine_tracking=False,
+                           comple_nonvis=False, robust_refine=0, ba_iters=1)
+        runner = VGGSfMRunner(cfg)
+        out_dir = str(tmp_path / "out")
+        os.makedirs(out_dir, exist_ok=True)
+        preds = runner.sparse_reconstruct(
+            images, image_names=[f"f{i}.png" for i in range(S)],
+            output_dir=out_dir)
+        assert preds["extrinsics"].shape == (S, 3, 4)
+        assert preds["pred_track"].shape[1] == S
+        rec = read_model(os.path.join(out_dir, "sparse"))
+        assert len(rec.images) == S
