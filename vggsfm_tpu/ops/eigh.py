@@ -73,9 +73,17 @@ def eigh_small(A: jax.Array, num_sweeps: int = 6, sort: bool = True):
 
     V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
     pairs = [(p, q) for p in range(n) for q in range(p + 1, n)]
-    for _ in range(num_sweeps):
+
+    # one sweep unrolls the static (p, q) schedule; sweeps iterate via
+    # fori_loop so the traced graph stays num_sweeps-times smaller (the
+    # fully unrolled version costs minutes of XLA compile for n >= 9)
+    def sweep(_, AV):
+        A, V = AV
         for p, q in pairs:
             A, V = _jacobi_rotation(A, V, p, q)
+        return A, V
+
+    A, V = jax.lax.fori_loop(0, num_sweeps, sweep, (A, V))
 
     w = jnp.diagonal(A, axis1=-2, axis2=-1) * scale[..., 0]
     if sort:

@@ -36,7 +36,8 @@ def camera_validity_mask(intrinsics, extrinsics, image_size,
 
 def refine_poses(extrinsics, intrinsics, points3d, tracks, obs_mask,
                  image_size, extra_params=None, refine_intrinsics=True,
-                 max_iterations: int = 20):
+                 max_iterations: int = 20, force_estimate: bool = False,
+                 pnp_key=None):
     """Refine every camera against the (frozen) 3D points.
 
     Args:
@@ -60,6 +61,24 @@ def refine_poses(extrinsics, intrinsics, points3d, tracks, obs_mask,
         cfg=cfg)
 
     valid = camera_validity_mask(intr_o, extr_o, image_size, extra_o)
+
+    if force_estimate and pnp_key is not None:
+        # absolute-pose re-estimation for invalid frames (parity:
+        # triangulation.py:384-433 pycolmap absolute_pose_estimation)
+        from vggsfm_tpu.twoview.pnp import absolute_pose_ransac
+
+        pnp = absolute_pose_ransac(
+            jnp.broadcast_to(points3d[None], (S,) + points3d.shape),
+            tracks, intrinsics, pnp_key, valid_mask=obs_mask)
+        pnp_valid = camera_validity_mask(
+            pnp["intrinsics"], pnp["extrinsics"], image_size)
+        use_pnp = (~valid) & pnp_valid
+        extr_o = jnp.where(use_pnp[:, None, None], pnp["extrinsics"],
+                           extr_o)
+        intr_o = jnp.where(use_pnp[:, None, None], pnp["intrinsics"],
+                           intr_o)
+        valid |= use_pnp
+
     v3 = valid[:, None, None]
     extr_o = jnp.where(v3, extr_o, extrinsics)
     intr_o = jnp.where(v3, intr_o, intrinsics)

@@ -263,8 +263,11 @@ def run_sfm(extrinsics, intrinsics, tracks, vis, image_size,
 
     for refine_idx in range(cfg.robust_refine):
         obs = (vis > cfg.vis_thresh) & valid_tracks[None] & inlier_detail
+        force = refine_idx == cfg.robust_refine - 1
         extr, intr, extra, _ = refine_poses(
-            extr, intr, pts, tracks, obs, image_size, extra_params=extra)
+            extr, intr, pts, tracks, obs, image_size, extra_params=extra,
+            force_estimate=force,
+            pnp_key=jax.random.PRNGKey(100 + refine_idx))
         pts, extr, intr, extra, valid_tracks, inlier_detail = \
             triangulate_and_ba(extr, intr, extra, tracks, vis, score,
                                image_size, cfgb, seed=2 + refine_idx)
