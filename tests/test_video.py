@@ -1,0 +1,144 @@
+"""Video (windowed incremental) runner machinery smoke test."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+class TestVideoRunner:
+    def test_windowed_run_exports(self, tmp_path):
+        from vggsfm_tpu.io import read_model
+        from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+        from vggsfm_tpu.video import VideoConfig, VideoRunner
+
+        rng = np.random.default_rng(0)
+        T, R = 8, 128
+        base = rng.uniform(size=(R * 2, R * 2, 3)).astype(np.float32)
+        for _ in range(2):
+            base = 0.25 * (np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                           + np.roll(base, 1, 1) + np.roll(base, -1, 1))
+        video = np.stack([base[4 * t: 4 * t + R, 4 * t: 4 * t + R]
+                          for t in range(T)])
+
+        scfg = RunnerConfig(img_size=R, query_frame_num=1, max_query_pts=64,
+                            query_method="harris", fine_tracking=False,
+                            comple_nonvis=False, robust_refine=0, ba_iters=1)
+        vcfg = VideoConfig(init_window_size=4, window_size=2,
+                           joint_ba_interval=2, max_query_pts=64,
+                           query_method="harris", min_inlier_per_frame=5)
+        runner = VideoRunner(VGGSfMRunner(scfg), vcfg)
+        out_dir = str(tmp_path / "video_out")
+        os.makedirs(out_dir)
+        preds = runner.run(video, output_dir=out_dir)
+
+        assert preds["extrinsics"].shape == (T, 3, 4)
+        assert preds["registered"].all()
+        # random weights -> the tracker finds few/no stable tracks; the
+        # machinery (windows, registration, BA, export) must still run
+        assert preds["num_points"] >= 0
+        rec = read_model(os.path.join(out_dir, "sparse"))
+        assert len(rec.images) == T
+
+
+@pytest.mark.slow
+class TestVideoRunnerOracle:
+    def test_incremental_geometry_with_oracle_tracker(self, tmp_path):
+        """Replace the neural tracker with a projection oracle: the
+        incremental machinery (PnP registration, windowed refinement,
+        triangulation, joint sparse BA) must then recover the trajectory."""
+        import jax.numpy as jnp
+
+        from vggsfm_tpu.geometry.metrics import pose_auc30
+        from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+        from vggsfm_tpu.video import VideoConfig, VideoRunner
+
+        rng = np.random.default_rng(0)
+        T, R_img, N = 12, 128, 300
+        f = float(R_img)
+        K = np.array([[f, 0, R_img / 2], [0, f, R_img / 2], [0, 0, 1.0]])
+        X = rng.uniform([-2, -2, 6], [2, 2, 10], size=(N, 3))
+        extr_gt = np.zeros((T, 3, 4))
+        for t in range(T):
+            a = 0.04 * t
+            R = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                          [-np.sin(a), 0, np.cos(a)]])
+            tr = np.array([0.15 * t, 0.01 * t, 0.02 * t])
+            extr_gt[t] = np.concatenate([R, tr[:, None]], axis=1)
+
+        def project(t, pts):
+            Xc = (extr_gt[t, :, :3] @ pts.T).T + extr_gt[t, :, 3]
+            uv = (K @ Xc.T).T
+            return uv[:, :2] / uv[:, 2:]
+
+        video = rng.uniform(size=(T, R_img, R_img, 3)).astype(np.float32)
+
+        scfg = RunnerConfig(img_size=R_img, query_frame_num=1,
+                            max_query_pts=64, query_method="harris",
+                            fine_tracking=False, comple_nonvis=False,
+                            robust_refine=0, ba_iters=1)
+        vcfg = VideoConfig(init_window_size=4, window_size=3,
+                           joint_ba_interval=2, max_query_pts=128,
+                           query_method="harris", min_inlier_per_frame=10)
+        runner = VideoRunner(VGGSfMRunner(scfg), vcfg)
+
+        # oracle init: GT cameras for the first window + triangulated pts
+        def oracle_init(images_init, **kw):
+            S0 = images_init.shape[0]
+            track = np.stack([project(t, X) for t in range(S0)])
+            track += rng.normal(scale=0.2, size=track.shape)
+            return {
+                "extrinsics": extr_gt[:S0].astype(np.float32),
+                "intrinsics": np.tile(K, (S0, 1, 1)).astype(np.float32),
+                "points3d": X.astype(np.float32),
+                "valid_tracks": np.ones(N, bool),
+                "valid_2d_mask": np.ones((S0, N), bool),
+                "pred_track": track[None].astype(np.float32),
+            }
+
+        runner.r.sparse_reconstruct = oracle_init
+
+        # oracle tracker: project the queried map points into the window;
+        # fresh queries get no stable tracks (vis 0)
+        def oracle_track(images_w, query_xy, frames_w=[None]):
+            Sw = images_w.shape[0]
+            Nq = len(query_xy)
+            tr = np.zeros((Sw, Nq, 2), np.float32)
+            vis = np.zeros((Sw, Nq), np.float32)
+            # match query xy to map points by reprojection in frame q
+            q = oracle_track.frames[0]
+            proj_q = project(q, X)
+            d = np.linalg.norm(query_xy[:, None] - proj_q[None], axis=-1)
+            nearest = d.argmin(1)
+            matched = d.min(1) < 2.0
+            for i, t in enumerate(oracle_track.frames):
+                tr[i] = project(t, X)[nearest]
+                tr[i] += rng.normal(scale=0.2, size=tr[i].shape)
+                vis[i] = matched.astype(np.float32)
+            return tr, vis
+
+        # patch _track_window with the oracle; window frame ids are
+        # reconstructed from the runner's sequential call order
+        import types
+
+        call_counter = {"end": 4}
+
+        def spy_track(self, images_w, query_xy):
+            Sw = images_w.shape[0]
+            start = call_counter["end"]
+            oracle_track.frames = [start - 1] + list(
+                range(start, start + Sw - 1))
+            call_counter["end"] = start + Sw - 1
+            return oracle_track(images_w, np.asarray(query_xy))
+
+        runner._track_window = types.MethodType(spy_track, runner)
+
+        out_dir = str(tmp_path / "oracle_out")
+        os.makedirs(out_dir)
+        preds = runner.run(video, output_dir=out_dir)
+
+        assert preds["registered"].all()
+        auc = pose_auc30(jnp.asarray(preds["extrinsics"]),
+                         jnp.asarray(extr_gt, np.float32))
+        assert float(auc) > 0.85

@@ -10,3 +10,4 @@ camera system (see vggsfm_tpu.parallel).
 """
 
 from vggsfm_tpu.ba.lm import BAConfig, bundle_adjust, reprojection_cost
+from vggsfm_tpu.ba.sparse_lm import SparseBAConfig, bundle_adjust_sparse

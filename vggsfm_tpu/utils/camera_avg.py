@@ -1,0 +1,120 @@
+"""Multi-query camera prediction averaging + query-frame ranking.
+
+Parity: vggsfm/utils/utils.py:25-164 (`average_camera_prediction`,
+quaternion-mean rotation averaging) and :234-308 (query-frame selection:
+'midpoint' interval ordering and DINO-similarity farthest-point sampling).
+Quaternion averaging here uses sign-aligned mean (the reference averages
+scipy quats, relying on consistent hemispheres across predictions).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vggsfm_tpu.geometry.cameras import (
+    pose_encoding_to_extri_intri,
+    se3_compose,
+    se3_inverse,
+)
+from vggsfm_tpu.geometry.rotations import (
+    matrix_to_quaternion,
+    quaternion_to_matrix,
+)
+
+
+def average_rotations(Rs: jax.Array) -> jax.Array:
+    """(Q, N, 3, 3) -> (N, 3, 3): quaternion mean over the Q axis."""
+    q = matrix_to_quaternion(Rs)  # (Q, N, 4)
+    # align hemispheres to the first prediction before averaging
+    sign = jnp.sign(jnp.sum(q * q[0:1], axis=-1, keepdims=True))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    mean = jnp.mean(q * sign, axis=0)
+    mean = mean / jnp.maximum(
+        jnp.linalg.norm(mean, axis=-1, keepdims=True), 1e-12)
+    return quaternion_to_matrix(mean)
+
+
+def average_camera_prediction(camera_forward, images, image_size,
+                              query_indices=None, repeat_times: int = 5,
+                              seed: int = 0):
+    """Ensemble the camera predictor over several query orderings.
+
+    Args:
+      camera_forward: images (1, S, H, W, 3) -> pose encodings (1, S, 8).
+      images: (1, S, H, W, 3).
+      image_size: (H, W) of the target camera frame.
+
+    Returns (extrinsics (S, 3, 4), intrinsics (S, 3, 3)) averaged over
+    query orderings, relative to frame 0.
+    """
+    S = images.shape[1]
+    if query_indices is None:
+        rng = np.random.default_rng(seed)
+        q = min(repeat_times, S)
+        query_indices = list(rng.choice(S, size=q, replace=False))
+        if 0 not in query_indices:
+            query_indices.insert(0, 0)
+
+    all_R, all_t, all_f = [], [], []
+    for qi in query_indices:
+        order = np.arange(S)
+        order[0], order[qi] = qi, 0
+        inv_order = np.argsort(order)
+        pose_enc = camera_forward(images[:, order])[0]
+        extr, intr = pose_encoding_to_extri_intri(pose_enc, image_size)
+        extr = extr[inv_order]
+        intr = intr[inv_order]
+        # re-relativize to (the true) frame 0
+        first_inv = se3_inverse(extr[0])
+        extr = se3_compose(extr, first_inv[None])
+        all_R.append(extr[:, :, :3])
+        all_t.append(extr[:, :, 3])
+        all_f.append(jnp.stack([intr[:, 0, 0], intr[:, 1, 1]], axis=-1))
+
+    R = average_rotations(jnp.stack(all_R))
+    t = jnp.mean(jnp.stack(all_t), axis=0)
+    f = jnp.mean(jnp.stack(all_f), axis=0)
+    extr = jnp.concatenate([R, t[..., None]], axis=-1)
+    intr = jnp.zeros((S, 3, 3), R.dtype)
+    intr = intr.at[:, 0, 0].set(f[:, 0]).at[:, 1, 1].set(f[:, 1])
+    intr = intr.at[:, 0, 2].set(image_size[1] / 2.0)
+    intr = intr.at[:, 1, 2].set(image_size[0] / 2.0)
+    intr = intr.at[:, 2, 2].set(1.0)
+    return extr, intr
+
+
+def rank_by_dino_similarity(features: jax.Array, query_num: int):
+    """Farthest-point sampling on frame-level feature similarity.
+
+    Args:
+      features: (S, D) per-frame descriptors (e.g. mean DINOv2 patch
+        tokens). Returns `query_num` frame indices, frame 0 first.
+    Parity: utils/utils.py:265-308 (`generate_rank_by_dino` + FPS).
+    """
+    f = features / jnp.maximum(
+        jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
+    sim = f @ f.T  # (S, S)
+    S = sim.shape[0]
+    # most-"central" frame first (reference ranks by total similarity)
+    order = jnp.argsort(-jnp.sum(sim, axis=1))
+    selected = [int(order[0])]
+    dist = 1.0 - np.asarray(sim)
+    for _ in range(min(query_num, S) - 1):
+        d_min = dist[:, selected].min(axis=1)
+        d_min[selected] = -1
+        selected.append(int(d_min.argmax()))
+    if 0 not in selected:
+        selected[-1] = 0
+    # frame 0 first (pipeline convention)
+    selected.sort(key=lambda i: i != 0)
+    return selected
+
+
+def rank_by_midpoint(S: int, query_num: int):
+    """Interval/midpoint ordering (utils/utils.py:234-262)."""
+    idx = np.linspace(0, S - 1, min(query_num, S)).round().astype(int)
+    out = sorted(set(int(i) for i in idx))
+    out.sort(key=lambda i: i != 0)
+    return out
