@@ -20,6 +20,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the geometry/RANSAC/BA graphs dominate test
+# wall-time on first compile; cached reruns are minutes, not an hour
+from vggsfm_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache(
+    os.path.expanduser("~/.cache/vggsfm_tpu_xla_tests"))
+
 import numpy as np
 import pytest
 

@@ -93,7 +93,7 @@ class TestRansac:
             jnp.asarray(x, jnp.float32)[None],
             jnp.asarray(K_wrong, jnp.float32)[None],
             jax.random.PRNGKey(0), max_ransac_iters=256, lo_num=16,
-            f_trials=17, max_error=4.0)
+            f_trials=9, max_error=4.0)
         f_best = float(out["intrinsics"][0, 0, 0])
         assert abs(f_best - K[0, 0]) / K[0, 0] < 0.2
         pose = np.asarray(out["extrinsics"][0])
