@@ -31,6 +31,9 @@ def parse_args(argv):
     p.add_argument("--checkpoint", default=None,
                    help="reference torch checkpoint to convert (optional)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--config", default=None,
+                   help="YAML config (cfgs/demo.yaml schema); CLI flags "
+                        "override file values")
     # accept hydra-style SCENE_DIR=... for muscle-memory compatibility
     argv = [a.split("=", 1)[1] if a.startswith("SCENE_DIR=") else a
             for a in argv]
@@ -42,7 +45,7 @@ def main(argv=None):
 
     from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
 
-    cfg = RunnerConfig(
+    overrides = dict(
         img_size=args.img_size,
         query_frame_num=args.query_frame_num,
         max_query_pts=args.max_query_pts,
@@ -53,6 +56,18 @@ def main(argv=None):
         checkpoint=args.checkpoint,
         seed=args.seed,
     )
+    if args.config:
+        import dataclasses
+
+        import yaml
+
+        file_cfg = yaml.safe_load(open(args.config)) or {}
+        fields = {f.name for f in dataclasses.fields(RunnerConfig)}
+        base = {k: v for k, v in file_cfg.items() if k in fields}
+        base.update(overrides)
+        cfg = RunnerConfig(**base)
+    else:
+        cfg = RunnerConfig(**overrides)
     runner = VGGSfMRunner(cfg)
     out_dir = args.output or args.scene_dir
     predictions = runner.run_scene(args.scene_dir, output_dir=out_dir)

@@ -20,12 +20,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache: the geometry/RANSAC/BA graphs dominate test
-# wall-time on first compile; cached reruns are minutes, not an hour
-from vggsfm_tpu.utils.cache import enable_compilation_cache
-
-enable_compilation_cache(
-    os.path.expanduser("~/.cache/vggsfm_tpu_xla_tests"))
+# NOTE: do not enable the persistent compilation cache here — JAX's CPU
+# executable serialization segfaults in this environment (the cache is for
+# the TPU path; see vggsfm_tpu.utils.cache).
 
 import numpy as np
 import pytest

@@ -19,5 +19,5 @@ def enable_compilation_cache(path: str | None = None) -> str:
     path = path or os.environ.get("VGGSFM_TPU_XLA_CACHE", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return path
