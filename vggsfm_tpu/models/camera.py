@@ -8,6 +8,8 @@ vggsfm_tpu.geometry.cameras.pose_encoding_to_extri_intri.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -33,29 +35,34 @@ class CameraPredictor(nn.Module):
     att_depth: int = 8
     trunk_depth: int = 4
     target_dim: int = 8  # absT_quaR_OneFL
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = DinoVisionTransformer()
+        self.backbone = DinoVisionTransformer(dtype=self.dtype)
         self.input_transform = Mlp(self.z_dim, self.hidden_size,
-                                   name="input_transform")
+                                   name="input_transform",
+                                   dtype=self.dtype)
         self.pose_token = self.param("pose_token",
                                      nn.initializers.normal(1e-6),
                                      (1, 1, 1, self.hidden_size))
         self.self_att = [
             AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
-                      name=f"self_att_{i}") for i in range(self.att_depth)]
+                      name=f"self_att_{i}", dtype=self.dtype)
+            for i in range(self.att_depth)]
         self.cross_att = [
             CrossAttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
-                           name=f"cross_att_{i}")
+                           name=f"cross_att_{i}", dtype=self.dtype)
             for i in range(self.att_depth)]
         self.trunk = [
             AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
-                      name=f"trunk_{i}") for i in range(self.trunk_depth)]
+                      name=f"trunk_{i}", dtype=self.dtype)
+            for i in range(self.trunk_depth)]
         self.pose_branch = Mlp(self.hidden_size * 2,
                                self.hidden_size + self.target_dim,
-                               name="pose_branch")
+                               name="pose_branch", dtype=self.dtype)
         self.ffeat_updater = nn.Dense(self.hidden_size,
-                                      name="ffeat_updater")
+                                      name="ffeat_updater",
+                                      dtype=self.dtype)
 
     def _norm(self, x):
         # LayerNorm without affine (camera_predictor.py:75-77)
@@ -94,7 +101,8 @@ class CameraPredictor(nn.Module):
         pos = get_2d_sincos_pos_embed(C, (patch, patch)).reshape(1, P, C)
         feat = (feat + pos).reshape(B, S, P, C)
 
-        token = jnp.broadcast_to(self.pose_token, (B, S, 1, C))
+        token = jnp.broadcast_to(self.pose_token.astype(feat.dtype),
+                                 (B, S, 1, C))
         feat = jnp.concatenate([token, feat], axis=2)
         P1 = P + 1
 
@@ -121,10 +129,11 @@ class CameraPredictor(nn.Module):
         B, S, C = rgb_feat.shape
         feat_init = rgb_feat
 
-        pose_enc = jnp.zeros((B, S, self.target_dim), rgb_feat.dtype)
+        pose_enc = jnp.zeros((B, S, self.target_dim), jnp.float32)
         for _ in range(iters):
             pose_enc = jax.lax.stop_gradient(pose_enc)
-            rgb_feat = rgb_feat + self._embed_pose(pose_enc)
+            rgb_feat = rgb_feat + self._embed_pose(pose_enc).astype(
+                rgb_feat.dtype)
             for blk in self.trunk:
                 rgb_feat = blk(rgb_feat)
             delta = self.pose_branch(rgb_feat)
@@ -132,7 +141,7 @@ class CameraPredictor(nn.Module):
             delta_feat = delta[..., self.target_dim:]
             rgb_feat = nn.gelu(self.ffeat_updater(self._norm(delta_feat)),
                                approximate=False) + rgb_feat
-            pose_enc = pose_enc + delta_pose
+            pose_enc = pose_enc + delta_pose.astype(jnp.float32)
             rgb_feat = (rgb_feat + feat_init) / 2
 
         return {"pred_pose_enc": pose_enc, "rgb_feat_init": feat_init}

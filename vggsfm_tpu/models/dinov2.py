@@ -10,6 +10,8 @@ checkpoint when available (see vggsfm_tpu.models.convert).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -20,42 +22,46 @@ from vggsfm_tpu.models.sampling import interpolate_bilinear
 class DinoAttention(nn.Module):
     dim: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, L, _ = x.shape
         H = self.num_heads
         D = self.dim // H
-        qkv = nn.Dense(self.dim * 3, name="qkv")(x)
+        qkv = nn.Dense(self.dim * 3, name="qkv", dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
             return t.reshape(B, L, H, D).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        attn = jax.nn.softmax(
-            jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(D), axis=-1)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        attn = jax.nn.softmax(logits / jnp.sqrt(D), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, self.dim)
-        return nn.Dense(self.dim, name="proj")(out)
+        return nn.Dense(self.dim, name="proj", dtype=self.dtype)(out)
 
 
 class DinoBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         ls1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,))
         ls2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,))
-        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        x = x + ls1 * DinoAttention(self.dim, self.num_heads, name="attn")(y)
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(y)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=self.dtype)(x)
+        x = x + (ls1 * DinoAttention(self.dim, self.num_heads, name="attn",
+                                     dtype=self.dtype)(y)).astype(x.dtype)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=self.dtype)(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1",
+                     dtype=self.dtype)(y)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="mlp_fc2")(h)
-        return x + ls2 * h
+        h = nn.Dense(self.dim, name="mlp_fc2", dtype=self.dtype)(h)
+        return x + (ls2 * h).astype(x.dtype)
 
 
 class DinoVisionTransformer(nn.Module):
@@ -67,6 +73,7 @@ class DinoVisionTransformer(nn.Module):
     patch_size: int = 14
     num_register_tokens: int = 4
     pos_embed_size: int = 37  # pretraining grid (518 / 14)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images):
@@ -74,9 +81,10 @@ class DinoVisionTransformer(nn.Module):
         B, H, W, _ = images.shape
         gh, gw = H // self.patch_size, W // self.patch_size
 
+        images = images.astype(self.dtype)
         x = nn.Conv(self.embed_dim, (self.patch_size,) * 2,
                     strides=(self.patch_size,) * 2, padding="VALID",
-                    name="patch_embed")(images)
+                    name="patch_embed", dtype=self.dtype)(images)
         x = x.reshape(B, gh * gw, self.embed_dim)
 
         cls_token = self.param("cls_token", nn.initializers.zeros,
@@ -97,16 +105,16 @@ class DinoVisionTransformer(nn.Module):
                                              align_corners=False)
         pos_patch = pos_patch.reshape(1, gh * gw, self.embed_dim)
 
-        x = x + pos_patch
-        cls = jnp.broadcast_to(cls_token + pos_cls,
+        x = x + pos_patch.astype(self.dtype)
+        cls = jnp.broadcast_to((cls_token + pos_cls).astype(self.dtype),
                                (B, 1, self.embed_dim))
-        regs = jnp.broadcast_to(reg_tokens,
+        regs = jnp.broadcast_to(reg_tokens.astype(self.dtype),
                                 (B, self.num_register_tokens,
                                  self.embed_dim))
         x = jnp.concatenate([cls, regs, x], axis=1)
 
         for i in range(self.depth):
             x = DinoBlock(self.embed_dim, self.num_heads,
-                          name=f"blocks_{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+                          name=f"blocks_{i}", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm", dtype=self.dtype)(x)
         return x[:, 1 + self.num_register_tokens:]

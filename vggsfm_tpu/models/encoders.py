@@ -10,8 +10,11 @@ parameters are convolutions — ideal for direct checkpoint conversion
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from vggsfm_tpu.models.layers import ResidualBlock, instance_norm
 from vggsfm_tpu.models.sampling import interpolate_bilinear
@@ -22,18 +25,22 @@ class BasicEncoder(nn.Module):
 
     output_dim: int = 128
     stride: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         _, H, W, _ = x.shape
         d = self.output_dim
+        x = x.astype(self.dtype)
         x = nn.Conv(d // 2, (7, 7), strides=(2, 2), padding=3,
-                    name="conv1")(x)
+                    name="conv1", dtype=self.dtype)(x)
         x = nn.relu(instance_norm(x))
 
         def layer(x, dim, stride, name):
-            x = ResidualBlock(dim, stride, name=f"{name}_0")(x)
-            return ResidualBlock(dim, 1, name=f"{name}_1")(x)
+            x = ResidualBlock(dim, stride, name=f"{name}_0",
+                              dtype=self.dtype)(x)
+            return ResidualBlock(dim, 1, name=f"{name}_1",
+                                 dtype=self.dtype)(x)
 
         a = layer(x, d // 2, 1, "layer1")
         b = layer(a, d // 4 * 3, 2, "layer2")
@@ -43,9 +50,10 @@ class BasicEncoder(nn.Module):
         hw = (H // self.stride, W // self.stride)
         fused = jax.numpy.concatenate(
             [interpolate_bilinear(t, hw) for t in (a, b, c, e)], axis=-1)
-        x = nn.Conv(d * 2, (3, 3), padding=1, name="conv2")(fused)
+        x = nn.Conv(d * 2, (3, 3), padding=1, name="conv2",
+                    dtype=self.dtype)(fused)
         x = nn.relu(instance_norm(x))
-        return nn.Conv(d, (1, 1), name="conv3")(x)
+        return nn.Conv(d, (1, 1), name="conv3", dtype=self.dtype)(x)
 
 
 class ShallowEncoder(nn.Module):
@@ -53,18 +61,21 @@ class ShallowEncoder(nn.Module):
 
     output_dim: int = 32
     stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         _, H, W, _ = x.shape
         d = self.output_dim
-        x = nn.Conv(d, (3, 3), strides=(2, 2), padding=1, name="conv1")(x)
+        x = x.astype(self.dtype)
+        x = nn.Conv(d, (3, 3), strides=(2, 2), padding=1, name="conv1",
+                    dtype=self.dtype)(x)
         x = nn.relu(instance_norm(x))
 
         hw = x.shape[1:3]
-        tmp = ResidualBlock(d, 2, name="layer1")(x)
+        tmp = ResidualBlock(d, 2, name="layer1", dtype=self.dtype)(x)
         x = x + interpolate_bilinear(tmp, hw)
-        tmp = ResidualBlock(d, 2, name="layer2")(tmp)
+        tmp = ResidualBlock(d, 2, name="layer2", dtype=self.dtype)(tmp)
         x = x + interpolate_bilinear(tmp, hw)
-        x = nn.Conv(d, (1, 1), name="conv2")(x) + x
+        x = nn.Conv(d, (1, 1), name="conv2", dtype=self.dtype)(x) + x
         return interpolate_bilinear(x, (H // self.stride, W // self.stride))

@@ -12,9 +12,13 @@ for weight-compatibility:
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+Dtype = Any
 
 
 class TorchMultiheadAttention(nn.Module):
@@ -26,12 +30,13 @@ class TorchMultiheadAttention(nn.Module):
 
     dim: int
     num_heads: int
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v):
         H = self.num_heads
         D = self.dim // H
-        qkv = nn.Dense(3 * self.dim, name="in_proj")
+        qkv = nn.Dense(3 * self.dim, name="in_proj", dtype=self.dtype)
         # packed projection: split rows exactly like torch's in_proj_weight
         wq = qkv(q)[..., : self.dim] if q is not k else None
         if q is k and k is v:
@@ -52,12 +57,13 @@ class TorchMultiheadAttention(nn.Module):
             return x.reshape(B, L, H, D).transpose(0, 2, 1, 3)
 
         xq, xk, xv = split_heads(xq), split_heads(xk), split_heads(xv)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", xq, xk) / jnp.sqrt(D)
-        attn = jax.nn.softmax(attn, axis=-1)
+        # softmax in f32 for numerical stability under low precision
+        attn = jnp.einsum("bhqd,bhkd->bhqk", xq, xk).astype(jnp.float32)
+        attn = jax.nn.softmax(attn / jnp.sqrt(D), axis=-1).astype(xv.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, xv)
         B, _, L, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(B, L, self.dim)
-        return nn.Dense(self.dim, name="out_proj")(out)
+        return nn.Dense(self.dim, name="out_proj", dtype=self.dtype)(out)
 
 
 class Mlp(nn.Module):
@@ -65,12 +71,14 @@ class Mlp(nn.Module):
 
     hidden_features: int
     out_features: int
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_features, name="fc1")(x)
+        x = nn.Dense(self.hidden_features, name="fc1", dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.out_features, name="fc2")(x)
+        return nn.Dense(self.out_features, name="fc2",
+                        dtype=self.dtype)(x)
 
 
 class AttnBlock(nn.Module):
@@ -79,17 +87,19 @@ class AttnBlock(nn.Module):
     hidden_size: int
     num_heads: int
     mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                         name="norm1")(x)
+                         name="norm1", dtype=self.dtype)(x)
         x = x + TorchMultiheadAttention(
-            self.hidden_size, self.num_heads, name="attn")(x, x, x)
+            self.hidden_size, self.num_heads, name="attn",
+            dtype=self.dtype)(x, x, x)
         y = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                         name="norm2")(x)
+                         name="norm2", dtype=self.dtype)(x)
         return x + Mlp(int(self.hidden_size * self.mlp_ratio),
-                       self.hidden_size, name="mlp")(y)
+                       self.hidden_size, name="mlp", dtype=self.dtype)(y)
 
 
 class CrossAttnBlock(nn.Module):
@@ -98,30 +108,34 @@ class CrossAttnBlock(nn.Module):
     hidden_size: int
     num_heads: int
     mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context):
         x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                         name="norm1")(x)
-        context = nn.LayerNorm(epsilon=1e-5, name="norm_context")(context)
+                         name="norm1", dtype=self.dtype)(x)
+        context = nn.LayerNorm(epsilon=1e-5, name="norm_context",
+                               dtype=self.dtype)(context)
         x = x + TorchMultiheadAttention(
-            self.hidden_size, self.num_heads, name="cross_attn")(
-                x, context, context)
+            self.hidden_size, self.num_heads, name="cross_attn",
+            dtype=self.dtype)(x, context, context)
         y = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                         name="norm2")(x)
+                         name="norm2", dtype=self.dtype)(x)
         return x + Mlp(int(self.hidden_size * self.mlp_ratio),
-                       self.hidden_size, name="mlp")(y)
+                       self.hidden_size, name="mlp", dtype=self.dtype)(y)
 
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Parameterless InstanceNorm over spatial dims, NHWC.
 
     torch nn.InstanceNorm2d defaults to affine=False — it is pure
-    normalization (modules.py uses it throughout the encoders).
+    normalization (modules.py uses it throughout the encoders). Statistics
+    are computed in f32 regardless of the activation dtype.
     """
-    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-    var = jnp.var(x, axis=(-3, -2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
+    var = jnp.var(x32, axis=(-3, -2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class ResidualBlock(nn.Module):
@@ -133,17 +147,19 @@ class ResidualBlock(nn.Module):
 
     planes: int
     stride: int = 1
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                    padding=1, name="conv1")(x)
+                    padding=1, name="conv1", dtype=self.dtype)(x)
         y = nn.relu(instance_norm(y))
-        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2")(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2",
+                    dtype=self.dtype)(y)
         y = nn.relu(instance_norm(y))
         if self.stride != 1:
             x = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
-                        name="downsample")(x)
+                        name="downsample", dtype=self.dtype)(x)
             x = instance_norm(x)
         return nn.relu(x + y)
 

@@ -48,8 +48,8 @@ def bilinear_sample(fmap: jax.Array, coords: jax.Array,
     v10 = gather(x0, y0 + 1)
     v11 = gather(x0 + 1, y0 + 1)
 
-    wx = wx[..., None]
-    wy = wy[..., None]
+    wx = wx[..., None].astype(fmap.dtype)
+    wy = wy[..., None].astype(fmap.dtype)
     out = ((1 - wy) * ((1 - wx) * v00 + wx * v01)
            + wy * ((1 - wx) * v10 + wx * v11))
     return out.reshape((B,) + lead + (C,))

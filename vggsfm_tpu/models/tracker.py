@@ -50,7 +50,7 @@ def build_corr_pyramid(fmaps: jax.Array, num_levels: int) -> list:
 
 
 def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
-                radius: int) -> jax.Array:
+                radius: int, use_pallas: bool = False) -> jax.Array:
     """Fused neighborhood-sample + dot correlation.
 
     Args:
@@ -71,6 +71,16 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
     for i, fmap in enumerate(pyramid):
         _, _, H, W, _ = fmap.shape
         centers = coords / (2.0 ** i)
+        if use_pallas:
+            from vggsfm_tpu.ops.corr_pallas import corr_sample_pallas
+
+            corr = corr_sample_pallas(
+                fmap.reshape(B * S, H, W, C).astype(jnp.float32),
+                centers.reshape(B * S, N, 2),
+                track_feats.reshape(B * S, N, C).astype(jnp.float32),
+                radius=radius)
+            out.append(corr.reshape(B, S, N, -1).astype(track_feats.dtype))
+            continue
         pts = centers[..., None, :] + delta  # (B,S,N,K,2)
         fm = fmap.reshape(B * S, H, W, C)
         pts_f = pts.reshape(B * S, N * delta.shape[0], 2)
@@ -95,20 +105,25 @@ class EfficientUpdateFormer(nn.Module):
     mlp_ratio: float = 4.0
     add_space_attn: bool = True
     num_virtual_tracks: int = 64
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         """x: (B, N, T, input_dim) -> (B, N, T, output_dim)."""
         B, N, T, _ = x.shape
         V = self.num_virtual_tracks
-        tokens = nn.Dense(self.hidden_size, name="input_transform")(x)
+        x = x.astype(self.dtype)
+        tokens = nn.Dense(self.hidden_size, name="input_transform",
+                          dtype=self.dtype)(x)
         init_tokens = tokens
 
         if self.add_space_attn:
             virtual = self.param(
                 "virtual_tracks", nn.initializers.normal(1.0),
                 (1, V, 1, self.hidden_size))
-            virtual = jnp.broadcast_to(virtual, (B, V, T, self.hidden_size))
+            virtual = jnp.broadcast_to(virtual, (B, V, T,
+                                                 self.hidden_size))
+            virtual = virtual.astype(self.dtype)
             tokens = jnp.concatenate([tokens, virtual], axis=1)
         Ntot = tokens.shape[1]
 
@@ -118,7 +133,7 @@ class EfficientUpdateFormer(nn.Module):
         for i in range(self.time_depth):
             tt = tokens.reshape(B * Ntot, T, self.hidden_size)
             tt = AttnBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
-                           name=f"time_blocks_{i}")(tt)
+                           name=f"time_blocks_{i}", dtype=self.dtype)(tt)
             tokens = tt.reshape(B, Ntot, T, self.hidden_size)
             if self.add_space_attn and i % stride == 0:
                 st = tokens.transpose(0, 2, 1, 3).reshape(
@@ -127,13 +142,16 @@ class EfficientUpdateFormer(nn.Module):
                 virt_t = st[:, Ntot - V:]
                 virt_t = CrossAttnBlock(
                     self.hidden_size, self.num_heads, self.mlp_ratio,
-                    name=f"space_virtual2point_blocks_{j}")(virt_t, point_t)
+                    name=f"space_virtual2point_blocks_{j}",
+                    dtype=self.dtype)(virt_t, point_t)
                 virt_t = AttnBlock(
                     self.hidden_size, self.num_heads, self.mlp_ratio,
-                    name=f"space_virtual_blocks_{j}")(virt_t)
+                    name=f"space_virtual_blocks_{j}",
+                    dtype=self.dtype)(virt_t)
                 point_t = CrossAttnBlock(
                     self.hidden_size, self.num_heads, self.mlp_ratio,
-                    name=f"space_point2virtual_blocks_{j}")(point_t, virt_t)
+                    name=f"space_point2virtual_blocks_{j}",
+                    dtype=self.dtype)(point_t, virt_t)
                 st = jnp.concatenate([point_t, virt_t], axis=1)
                 tokens = st.reshape(B, T, Ntot, self.hidden_size).transpose(
                     0, 2, 1, 3)
@@ -142,7 +160,8 @@ class EfficientUpdateFormer(nn.Module):
         if self.add_space_attn:
             tokens = tokens[:, : Ntot - V]
         tokens = tokens + init_tokens
-        return nn.Dense(self.output_dim, name="flow_head")(tokens)
+        return nn.Dense(self.output_dim, name="flow_head",
+                        dtype=self.dtype)(tokens)
 
 
 class BaseTrackerPredictor(nn.Module):
@@ -156,6 +175,8 @@ class BaseTrackerPredictor(nn.Module):
     use_spaceatt: bool = True
     depth: int = 6
     fine: bool = False
+    dtype: Any = jnp.float32
+    use_pallas_corr: bool = False
 
     @property
     def transformer_dim(self) -> int:
@@ -177,8 +198,9 @@ class BaseTrackerPredictor(nn.Module):
         _, S, HH, WW, C = fmaps.shape
         assert C == self.latent_dim
 
+        fmaps = fmaps.astype(self.dtype)
         scale = float(self.stride) * float(down_ratio)
-        qp = query_points / scale
+        qp = query_points.astype(jnp.float32) / scale
         coords = jnp.broadcast_to(qp[:, None], (B, S, N, 2))
 
         query_feats = sample_features4d(fmaps[:, 0], qp)
@@ -199,18 +221,20 @@ class BaseTrackerPredictor(nn.Module):
             hidden_size=self.hidden_size,
             output_dim=self.latent_dim + 2,
             add_space_attn=self.use_spaceatt,
-            name="updateformer")
+            name="updateformer", dtype=self.dtype)
         ffeat_gn_scale = self.param("norm_scale", nn.initializers.ones,
                                     (self.latent_dim,))
         ffeat_gn_bias = self.param("norm_bias", nn.initializers.zeros,
                                    (self.latent_dim,))
-        ffeat_dense = nn.Dense(self.latent_dim, name="ffeat_updater")
+        ffeat_dense = nn.Dense(self.latent_dim, name="ffeat_updater",
+                               dtype=self.dtype)
 
         coord_preds = []
         for _ in range(iters):
             coords = jax.lax.stop_gradient(coords)
             fcorrs = corr_sample(pyramid, coords, track_feats,
-                                 self.corr_radius)
+                                 self.corr_radius,
+                                 use_pallas=self.use_pallas_corr)
 
             flows = coords - coords[:, 0:1]  # (B,S,N,2)
             flows_bn = flows.transpose(0, 2, 1, 3)  # (B,N,S,2)
@@ -229,12 +253,14 @@ class BaseTrackerPredictor(nn.Module):
             x = x + sampled_pos[:, :, None, :]
 
             delta = updateformer(x)  # (B, N, S, latent+2)
-            delta_coords = delta[..., :2].transpose(0, 2, 1, 3)
+            delta_coords = delta[..., :2].astype(jnp.float32).transpose(
+                0, 2, 1, 3)
             delta_feats = delta[..., 2:]
 
             df = delta_feats.reshape(-1, self.latent_dim)
             df = group_norm_1(df, ffeat_gn_scale, ffeat_gn_bias)
-            df = nn.gelu(ffeat_dense(df), approximate=False)
+            df = nn.gelu(ffeat_dense(df), approximate=False).astype(
+                self.dtype)
             track_feats = (tfeats_bn.reshape(-1, self.latent_dim)
                            + df).reshape(B, N, S, self.latent_dim).transpose(
                                0, 2, 1, 3)
@@ -244,9 +270,9 @@ class BaseTrackerPredictor(nn.Module):
             coord_preds.append(coords * scale)
 
         if not self.fine:
-            vis = nn.Dense(1, name="vis_predictor")(
+            vis = nn.Dense(1, name="vis_predictor", dtype=self.dtype)(
                 track_feats.reshape(-1, self.latent_dim))
-            vis = jax.nn.sigmoid(vis.reshape(B, S, N))
+            vis = jax.nn.sigmoid(vis.astype(jnp.float32).reshape(B, S, N))
         else:
             vis = None
 
@@ -265,16 +291,22 @@ class TrackerPredictor(nn.Module):
 
     coarse_stride: int = 4
     coarse_down_ratio: int = 2
+    dtype: Any = jnp.float32
+    use_pallas_corr: bool = False
 
     def setup(self):
         self.coarse_fnet = BasicEncoder(output_dim=128,
-                                        stride=self.coarse_stride)
+                                        stride=self.coarse_stride,
+                                        dtype=self.dtype)
         self.coarse_predictor = BaseTrackerPredictor(
-            stride=self.coarse_stride)
-        self.fine_fnet = ShallowEncoder(output_dim=32, stride=1)
+            stride=self.coarse_stride, dtype=self.dtype,
+            use_pallas_corr=self.use_pallas_corr)
+        self.fine_fnet = ShallowEncoder(output_dim=32, stride=1,
+                                        dtype=self.dtype)
         self.fine_predictor = BaseTrackerPredictor(
             stride=1, depth=4, corr_levels=3, corr_radius=3, latent_dim=32,
-            hidden_size=256, fine=True, use_spaceatt=False)
+            hidden_size=256, fine=True, use_spaceatt=False,
+            dtype=self.dtype)
 
     def init_all(self, images, query_points):
         """Touch every submodule so `.init(..., method='init_all')` creates

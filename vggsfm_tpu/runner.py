@@ -60,14 +60,24 @@ class RunnerConfig:
     seed: int = 0
     checkpoint: str | None = None
     extract_color: bool = True
+    # 'bf16' runs the neural path in bfloat16 (parity with the reference's
+    # fp16 autocast default, cfgs/demo.yaml:16); geometry stays f32
+    precision: str = "bf16"
+    # fused Pallas correlation kernel (TPU only; XLA fallback elsewhere)
+    use_pallas_corr: bool | None = None
 
 
 class VGGSfMRunner:
     def __init__(self, cfg: RunnerConfig = RunnerConfig()):
         self.cfg = cfg
         enable_compilation_cache()
-        self.tracker = TrackerPredictor()
-        self.camera = CameraPredictor()
+        dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+        use_pallas = cfg.use_pallas_corr
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.tracker = TrackerPredictor(dtype=dtype,
+                                        use_pallas_corr=use_pallas)
+        self.camera = CameraPredictor(dtype=dtype)
         self._params = None
         self._jit_cache = {}
 
