@@ -96,6 +96,9 @@ def write_cameras_binary(cameras: dict, path: str) -> None:
 
 
 def write_images_binary(images: dict, path: str) -> None:
+    from vggsfm_tpu.io import native
+
+    use_native = native.available()
     with open(path, "wb") as f:
         f.write(struct.pack("<Q", len(images)))
         for im in images.values():
@@ -105,6 +108,11 @@ def write_images_binary(images: dict, path: str) -> None:
             f.write(struct.pack("<i", im.camera_id))
             f.write(im.name.encode("utf-8") + b"\x00")
             m = len(im.xys)
+            if use_native:
+                f.write(native.pack_observations(
+                    np.asarray(im.xys, np.float64).reshape(m, 2),
+                    np.asarray(im.point3D_ids, np.int64)))
+                continue
             f.write(struct.pack("<Q", m))
             rec = np.empty((m,), dtype=[("x", "<f8"), ("y", "<f8"),
                                         ("pid", "<i8")])
@@ -115,6 +123,28 @@ def write_images_binary(images: dict, path: str) -> None:
 
 
 def write_points3D_binary(points3D: dict, path: str) -> None:
+    from vggsfm_tpu.io import native
+
+    if native.available() and points3D:
+        pts = list(points3D.values())
+        ids = np.asarray([p.id for p in pts], np.uint64)
+        xyz = np.asarray([p.xyz for p in pts], np.float64)
+        rgb = np.asarray([p.rgb for p in pts], np.uint8)
+        errors = np.asarray([p.error for p in pts], np.float64)
+        lens = np.asarray([len(p.image_ids) for p in pts], np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        tii = np.concatenate([np.asarray(p.image_ids, np.int32)
+                              for p in pts]) if offsets[-1] else \
+            np.zeros(0, np.int32)
+        tpi = np.concatenate([np.asarray(p.point2D_idxs, np.int32)
+                              for p in pts]) if offsets[-1] else \
+            np.zeros(0, np.int32)
+        body = native.pack_points3d(ids, xyz, rgb, errors, offsets, tii,
+                                    tpi)
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", len(points3D)))
+            f.write(body)
+        return
     with open(path, "wb") as f:
         f.write(struct.pack("<Q", len(points3D)))
         for pt in points3D.values():
