@@ -31,3 +31,18 @@ class TestSuperPoint:
             jnp.asarray(heat), max_keypoints=8)
         got = {(int(y), int(x)) for x, y in np.asarray(xy[:3])}
         assert got == set(peaks)
+
+
+class TestALIKED:
+    def test_score_map_shapes(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from vggsfm_tpu.extractors.aliked import ALIKED
+
+        model = ALIKED(c1=8, c2=8, c3=16, c4=16, dim=16)
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)
+        score = model.apply(params, x)
+        assert score.shape == (1, 64, 64)
+        assert float(score.min()) >= 0 and float(score.max()) <= 1

@@ -1,0 +1,117 @@
+"""ALIKED keypoint detector — score branch (Flax, channels-last).
+
+The reference's default query-point source is LightGlue's ALIKED wrapper
+(cfgs/demo.yaml:49 `query_method: aliked`, runners/runner.py:1374-1379).
+For query points only the *score map* matters (the tracker does the
+matching), so this ports ALIKED's encoder + score head: a 4-stage
+conv/residual pyramid whose stage outputs are projected to dim/4 channels,
+upsampled to input resolution, concatenated, and reduced to a single-channel
+score map; keypoints are NMS peaks of that map. The SDDH deformable
+descriptor head is intentionally omitted (descriptors are unused here).
+
+BatchNorm layers are represented in inference form (per-channel scale +
+bias, foldable from a torch checkpoint's running statistics).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vggsfm_tpu.models.sampling import interpolate_bilinear
+
+
+class InferenceBatchNorm(nn.Module):
+    """Frozen BatchNorm: y = x * scale + bias (folded running stats)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * scale + bias
+
+
+class ConvBlock(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), padding=1, name="conv1",
+                    dtype=self.dtype)(x)
+        x = jax.nn.selu(InferenceBatchNorm(self.features, name="bn1")(x))
+        x = nn.Conv(self.features, (3, 3), padding=1, name="conv2",
+                    dtype=self.dtype)(x)
+        return jax.nn.selu(InferenceBatchNorm(self.features, name="bn2")(x))
+
+
+class ResBlock(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.features, (3, 3), padding=1, name="conv1",
+                    dtype=self.dtype)(x)
+        y = jax.nn.selu(InferenceBatchNorm(self.features, name="bn1")(y))
+        y = nn.Conv(self.features, (3, 3), padding=1, name="conv2",
+                    dtype=self.dtype)(y)
+        y = InferenceBatchNorm(self.features, name="bn2")(y)
+        if x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1), name="downsample",
+                        dtype=self.dtype)(x)
+        return jax.nn.selu(x + y)
+
+
+class ALIKED(nn.Module):
+    """ALIKED-n16-style encoder + score head -> (B, H, W) score map."""
+
+    c1: int = 16
+    c2: int = 32
+    c3: int = 64
+    c4: int = 128
+    dim: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, image):
+        """(B, H, W, 3) in [0, 1] -> score map (B, H, W) in [0, 1]."""
+        B, H, W, _ = image.shape
+        x1 = ConvBlock(self.c1, name="block1", dtype=self.dtype)(image)
+        x2 = nn.avg_pool(x1, (2, 2), strides=(2, 2))
+        x2 = ResBlock(self.c2, name="block2", dtype=self.dtype)(x2)
+        x3 = nn.avg_pool(x2, (2, 2), strides=(2, 2))
+        x3 = ResBlock(self.c3, name="block3", dtype=self.dtype)(x3)
+        x4 = nn.avg_pool(x3, (2, 2), strides=(2, 2))
+        x4 = ResBlock(self.c4, name="block4", dtype=self.dtype)(x4)
+
+        d = self.dim // 4
+        f1 = jax.nn.selu(nn.Conv(d, (1, 1), name="conv1",
+                                 dtype=self.dtype)(x1))
+        f2 = jax.nn.selu(nn.Conv(d, (1, 1), name="conv2",
+                                 dtype=self.dtype)(x2))
+        f3 = jax.nn.selu(nn.Conv(d, (1, 1), name="conv3",
+                                 dtype=self.dtype)(x3))
+        f4 = jax.nn.selu(nn.Conv(d, (1, 1), name="conv4",
+                                 dtype=self.dtype)(x4))
+        feats = jnp.concatenate([
+            f1,
+            interpolate_bilinear(f2, (H, W)),
+            interpolate_bilinear(f3, (H, W)),
+            interpolate_bilinear(f4, (H, W)),
+        ], axis=-1)
+
+        s = jax.nn.selu(nn.Conv(8, (1, 1), name="score_head1",
+                                dtype=self.dtype)(feats))
+        s = jax.nn.selu(nn.Conv(4, (3, 3), padding=1, name="score_head2",
+                                dtype=self.dtype)(s))
+        s = jax.nn.selu(nn.Conv(4, (3, 3), padding=1, name="score_head3",
+                                dtype=self.dtype)(s))
+        s = nn.Conv(1, (3, 3), padding=1, name="score_head4",
+                    dtype=self.dtype)(s)
+        return jax.nn.sigmoid(s.astype(jnp.float32))[..., 0]

@@ -1,0 +1,121 @@
+"""Track visualization (PIL-based, no cv2/matplotlib dependency).
+
+Parity: vggsfm/utils/visualizer.py:62-371 draws tracked points on each
+frame and writes an mp4; here frames render through PIL with
+rainbow-indexed track colors and export as per-frame PNGs or an animated
+GIF (every viewer opens those; mp4 encoding needs codecs this image lacks).
+Also covers the reprojection overlay of utils/utils.py:428-571: projected
+3D points drawn against their 2D tracks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _colormap(n: int) -> np.ndarray:
+    """(n, 3) uint8 rainbow colors by track index."""
+    t = np.linspace(0.0, 1.0, max(n, 2))
+    r = np.clip(1.5 - np.abs(3 * t - 1.5), 0, 1)
+    g = np.clip(1.5 - np.abs(3 * t - 0.75) * 2, 0, 1)
+    b = np.clip(1.5 - np.abs(3 * t) * 2 + 1.0, 0, 1)
+    return (np.stack([r, g, b], -1) * 255).astype(np.uint8)
+
+
+def draw_points(image: np.ndarray, xy: np.ndarray, colors: np.ndarray,
+                radius: int = 2, valid: np.ndarray | None = None):
+    """Stamp colored squares at xy on a copy of (H, W, 3) uint8 image."""
+    out = image.copy()
+    H, W = out.shape[:2]
+    if valid is None:
+        valid = np.ones(len(xy), bool)
+    for (x, y), c, ok in zip(np.asarray(xy), colors, valid):
+        if not ok:
+            continue
+        xi, yi = int(round(x)), int(round(y))
+        if 0 <= xi < W and 0 <= yi < H:
+            y0, y1 = max(0, yi - radius), min(H, yi + radius + 1)
+            x0, x1 = max(0, xi - radius), min(W, xi + radius + 1)
+            out[y0:y1, x0:x1] = c
+    return out
+
+
+def visualize_tracks(images: np.ndarray, tracks: np.ndarray,
+                     visibility: np.ndarray | None, output_dir: str,
+                     prefix: str = "tracks", gif: bool = True,
+                     max_tracks: int = 256) -> list:
+    """Render tracked points over every frame.
+
+    Args:
+      images: (S, H, W, 3) float [0,1] or uint8.
+      tracks: (S, N, 2); visibility: optional (S, N).
+
+    Writes `<prefix>_####.png` per frame (+ `<prefix>.gif`); returns the
+    written paths.
+    """
+    from PIL import Image
+
+    os.makedirs(output_dir, exist_ok=True)
+    imgs = np.asarray(images)
+    if imgs.dtype != np.uint8:
+        imgs = np.clip(imgs * 255, 0, 255).astype(np.uint8)
+    S, H, W, _ = imgs.shape
+    N = min(tracks.shape[1], max_tracks)
+    colors = _colormap(N)
+
+    paths = []
+    frames = []
+    for s in range(S):
+        valid = None
+        if visibility is not None:
+            valid = np.asarray(visibility[s, :N]) > 0.05
+        frame = draw_points(imgs[s], tracks[s, :N], colors, valid=valid)
+        p = os.path.join(output_dir, f"{prefix}_{s:04d}.png")
+        Image.fromarray(frame).save(p)
+        paths.append(p)
+        frames.append(Image.fromarray(frame))
+    if gif and frames:
+        gp = os.path.join(output_dir, f"{prefix}.gif")
+        frames[0].save(gp, save_all=True, append_images=frames[1:],
+                       duration=200, loop=0)
+        paths.append(gp)
+    return paths
+
+
+def visualize_reprojections(images: np.ndarray, tracks: np.ndarray,
+                            points3d: np.ndarray, extrinsics: np.ndarray,
+                            intrinsics: np.ndarray, valid_tracks: np.ndarray,
+                            output_dir: str) -> list:
+    """Overlay observed tracks (colored) and reprojected 3D points (white).
+
+    Parity: utils/utils.py:428-571 (`create_video_with_reprojections`).
+    """
+    from vggsfm_tpu.geometry.cameras import project_points
+    import jax.numpy as jnp
+
+    proj = np.asarray(project_points(
+        jnp.asarray(points3d), jnp.asarray(extrinsics),
+        jnp.asarray(intrinsics)))
+    imgs = np.asarray(images)
+    if imgs.dtype != np.uint8:
+        imgs = np.clip(imgs * 255, 0, 255).astype(np.uint8)
+    S = imgs.shape[0]
+    N = min(tracks.shape[1], 256)
+    colors = _colormap(N)
+    white = np.full((N, 3), 255, np.uint8)
+
+    from PIL import Image
+
+    os.makedirs(output_dir, exist_ok=True)
+    paths = []
+    for s in range(S):
+        frame = draw_points(imgs[s], tracks[s, :N], colors,
+                            valid=np.asarray(valid_tracks[:N]))
+        frame = draw_points(frame, proj[s, :N], white, radius=1,
+                            valid=np.asarray(valid_tracks[:N]))
+        p = os.path.join(output_dir, f"reproj_{s:04d}.png")
+        Image.fromarray(frame).save(p)
+        paths.append(p)
+    return paths
