@@ -120,3 +120,28 @@ class TestRunnerSmoke:
         assert preds["pred_track"].shape[1] == S
         rec = read_model(os.path.join(out_dir, "sparse"))
         assert len(rec.images) == S
+
+
+@pytest.mark.slow
+class TestExtraPoints:
+    def test_triangulate_extra_points_shapes(self):
+        from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+
+        rng2 = np.random.default_rng(3)
+        S, R = 3, 128
+        images = jnp.asarray(
+            rng2.uniform(size=(1, S, R, R, 3)).astype(np.float32))
+        cfg = RunnerConfig(img_size=R, query_frame_num=1, max_query_pts=32,
+                           query_method="harris", fine_tracking=False,
+                           comple_nonvis=False)
+        runner = VGGSfMRunner(cfg)
+        fmaps = runner._fmaps(images)
+        extr = np.tile(np.eye(3, 4, dtype=np.float32), (S, 1, 1))
+        extr[:, 0, 3] = 0.2 * np.arange(S)
+        intr = np.tile(np.array([[128.0, 0, 64], [0, 128, 64], [0, 0, 1]],
+                                np.float32), (S, 1, 1))
+        out = runner.triangulate_extra_points(
+            images, fmaps, extr, intr, num_extra=64)
+        assert out["points3d"].shape[0] == out["valid"].shape[0]
+        assert out["tracks"].shape[0] == S
+        assert out["colors"].shape[1] == 3

@@ -71,7 +71,8 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
     for i, fmap in enumerate(pyramid):
         _, _, H, W, _ = fmap.shape
         centers = coords / (2.0 ** i)
-        if use_pallas:
+        # the DMA-based kernel needs 128-aligned feature lanes (HBM tiling)
+        if use_pallas and C % 128 == 0:
             from vggsfm_tpu.ops.corr_pallas import corr_sample_pallas
 
             corr = corr_sample_pallas(
@@ -306,7 +307,7 @@ class TrackerPredictor(nn.Module):
         self.fine_predictor = BaseTrackerPredictor(
             stride=1, depth=4, corr_levels=3, corr_radius=3, latent_dim=32,
             hidden_size=256, fine=True, use_spaceatt=False,
-            dtype=self.dtype)
+            dtype=self.dtype, use_pallas_corr=self.use_pallas_corr)
 
     def init_all(self, images, query_points):
         """Touch every submodule so `.init(..., method='init_all')` creates

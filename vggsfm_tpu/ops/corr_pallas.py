@@ -96,6 +96,10 @@ def corr_sample_pallas(fmap: jax.Array, coords: jax.Array,
     `corr_sample` path (zeros padding) up to f32 rounding.
     """
     S, H, W, C = fmap.shape
+    if C % 128 != 0:
+        raise ValueError(
+            f"corr_sample_pallas requires C % 128 == 0 (HBM lane tiling); "
+            f"got C={C} — use the XLA corr_sample path instead")
     N = coords.shape[1]
     r = radius
     window = 2 * r + 2

@@ -310,20 +310,67 @@ class VGGSfMRunner:
         return predictions
 
     def _comple_nonvis(self, images, fmaps, track, vis, score, masks):
-        """Re-query frames with too few visible points.
+        """Re-query frames with too few visible points, then escalate.
 
-        Parity: runner.py:1201-1282 (single escalation round).
+        Parity: runner.py:1201-1282 — first a plain re-query from the two
+        least-visible frames; if frames still lack inliers, a second round
+        with the combined extractor set (the reference escalates to
+        'sp+sift+aliked').
         """
         cfg = self.cfg
-        vis_count = np.asarray(jnp.sum(vis[0] > 0.05, axis=-1))
-        bad = [int(i) for i in np.nonzero(
-            vis_count < cfg.min_vis_points)[0]]
-        if not bad:
-            return track, vis, score
-        t2, v2, s2 = self.predict_tracks(images, fmaps, bad[:2], masks)
-        return (jnp.concatenate([track, t2], axis=2),
-                jnp.concatenate([vis, v2], axis=2),
-                jnp.concatenate([score, s2], axis=2))
+        for round_idx in range(2):
+            vis_count = np.asarray(jnp.sum(vis[0] > 0.05, axis=-1))
+            bad = [int(i) for i in np.nonzero(
+                vis_count < cfg.min_vis_points)[0]]
+            if not bad:
+                break
+            method = cfg.query_method if round_idx == 0 else                 "sift+harris+grid"
+            orig = cfg.query_method
+            cfg.query_method = method
+            try:
+                t2, v2, s2 = self.predict_tracks(images, fmaps, bad[:2],
+                                                 masks)
+            finally:
+                cfg.query_method = orig
+            track = jnp.concatenate([track, t2], axis=2)
+            vis = jnp.concatenate([vis, v2], axis=2)
+            score = jnp.concatenate([score, s2], axis=2)
+        return track, vis, score
+
+    def triangulate_extra_points(self, images, fmaps, extrinsics,
+                                 intrinsics, num_extra: int = 4096):
+        """Densify: grid query points tracked + triangulated, no BA.
+
+        Parity: runner.py:635-742 (`triangulate_extra_points`).
+        Returns dict with ``points3d (N,3)``, ``valid (N,)``,
+        ``tracks (S,N,2)``, ``colors (N,3)``.
+        """
+        from vggsfm_tpu.extractors.dispatch import grid_keypoints
+        from vggsfm_tpu.geometry.cameras import cam_from_img
+        from vggsfm_tpu.ops.triangulation import triangulate_tracks
+
+        B, S, H, W, _ = images.shape
+        qp = grid_keypoints(H, W, num_extra)[None]
+        chunk = max(256, self.cfg.max_points_num // S)
+        tr_all, vis_all = [], []
+        for start in range(0, qp.shape[1], chunk):
+            t, v = self._coarse_track(fmaps, qp[:, start: start + chunk])
+            tr_all.append(t)
+            vis_all.append(v)
+        tr = jnp.concatenate(tr_all, axis=2)[0]
+        vi = jnp.concatenate(vis_all, axis=2)[0]
+
+        tn = cam_from_img(tr, intrinsics)
+        pts, inl_num, _ = triangulate_tracks(
+            jnp.asarray(extrinsics), tn, track_vis=vi,
+            max_ransac_iters=64, seed=7)
+        valid = inl_num >= 3
+        colors = sample_features4d(images[0], tr)
+        w = (vi > 0.05).astype(jnp.float32)[..., None]
+        rgb = jnp.sum(colors * w, axis=0) / jnp.maximum(
+            jnp.sum(w, axis=0), 1)
+        return {"points3d": np.asarray(pts), "valid": np.asarray(valid),
+                "tracks": np.asarray(tr), "colors": np.asarray(rgb)}
 
     def save_reconstruction(self, predictions, image_size, image_names,
                             output_dir):
