@@ -63,9 +63,8 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
     B, S, N, _ = coords.shape
     C = track_feats.shape[-1]
     r = radius
-    d = jnp.arange(-r, r + 1, dtype=coords.dtype)
-    dx, dy = jnp.meshgrid(d, d, indexing="xy")
-    delta = jnp.stack([dx, dy], axis=-1).reshape(-1, 2)  # (K, 2), row-major y
+    W1 = 2 * r + 1
+    window = 2 * r + 2
 
     out = []
     for i, fmap in enumerate(pyramid):
@@ -82,12 +81,33 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
                 radius=radius)
             out.append(corr.reshape(B, S, N, -1).astype(track_feats.dtype))
             continue
-        pts = centers[..., None, :] + delta  # (B,S,N,K,2)
-        fm = fmap.reshape(B * S, H, W, C)
-        pts_f = pts.reshape(B * S, N * delta.shape[0], 2)
-        nbhd = bilinear_sample(fm, pts_f, padding_mode="zeros")
-        nbhd = nbhd.reshape(B, S, N, delta.shape[0], C)
-        corr = jnp.einsum("bsnkc,bsnc->bsnk", nbhd, track_feats)
+
+        # XLA path, same math as the kernel: gather the (2r+2)^2 *integer*
+        # window once (one gather corner instead of four), dot with the
+        # track feature, then bilinearly combine the scalar correlations.
+        base = jnp.floor(centers)
+        frac = (centers - base).astype(track_feats.dtype)  # (B,S,N,2)
+        offs = jnp.arange(-r, r + 2, dtype=jnp.int32)
+        oy, ox = jnp.meshgrid(offs, offs, indexing="ij")  # (w, w)
+        ix = base[..., 0].astype(jnp.int32)[..., None, None] + ox
+        iy = base[..., 1].astype(jnp.int32)[..., None, None] + oy
+        ok = ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H))
+        flat_idx = (jnp.clip(iy, 0, H - 1) * W
+                    + jnp.clip(ix, 0, W - 1))  # (B,S,N,w,w)
+        fm = fmap.reshape(B * S, H * W, C)
+        idx = flat_idx.reshape(B * S, N * window * window)
+        nbhd = jnp.take_along_axis(fm, idx[..., None], axis=1)
+        nbhd = nbhd.reshape(B, S, N, window * window, C)
+        nbhd = nbhd * ok.reshape(B, S, N, -1, 1).astype(nbhd.dtype)
+        ci = jnp.einsum("bsnkc,bsnc->bsnk", nbhd, track_feats)
+        ci = ci.reshape(B, S, N, window, window)
+        fx = frac[..., 0, None, None]
+        fy = frac[..., 1, None, None]
+        corr = ((1 - fy) * (1 - fx) * ci[..., :W1, :W1]
+                + (1 - fy) * fx * ci[..., :W1, 1:]
+                + fy * (1 - fx) * ci[..., 1:, :W1]
+                + fy * fx * ci[..., 1:, 1:])
+        corr = corr.reshape(B, S, N, W1 * W1)
         out.append(corr / jnp.sqrt(C).astype(corr.dtype))
     return jnp.concatenate(out, axis=-1)
 
