@@ -61,6 +61,20 @@ class MapRegistry:
         self.obs_point = np.zeros((0,), np.int32)
         self.obs_xy = np.zeros((0, 2), np.float32)
 
+    def save(self, path: str) -> None:
+        np.savez_compressed(path, xyz=self.xyz, obs_frame=self.obs_frame,
+                            obs_point=self.obs_point, obs_xy=self.obs_xy)
+
+    @classmethod
+    def load(cls, path: str) -> "MapRegistry":
+        data = np.load(path)
+        reg = cls()
+        reg.xyz = data["xyz"]
+        reg.obs_frame = data["obs_frame"]
+        reg.obs_point = data["obs_point"]
+        reg.obs_xy = data["obs_xy"]
+        return reg
+
     @property
     def num_points(self):
         return len(self.xyz)
@@ -100,35 +114,67 @@ class VideoRunner:
             track, _ = self.r._fine_track(imj, track)
         return np.asarray(track[0]), np.asarray(vis[0])
 
-    def run(self, images: np.ndarray, output_dir: str | None = None):
-        """images: (T, R, R, 3) in [0, 1]. Returns predictions dict."""
+    def save_checkpoint(self, path: str, reg, extrinsics, intrinsics,
+                        registered, end: int, windows_done: int) -> None:
+        """Persist the full incremental state (resume point).
+
+        The reference has no pipeline-state checkpointing (SURVEY §5); its
+        point_dict/frame_dict is the natural resume state — here that is
+        the map registry + camera arrays + window cursor.
+        """
+        reg.save(path + ".map.npz")
+        np.savez_compressed(path + ".state.npz", extrinsics=extrinsics,
+                            intrinsics=intrinsics, registered=registered,
+                            end=end, windows_done=windows_done)
+
+    @staticmethod
+    def load_checkpoint(path: str):
+        reg = MapRegistry.load(path + ".map.npz")
+        st = np.load(path + ".state.npz")
+        return (reg, st["extrinsics"].copy(), st["intrinsics"].copy(),
+                st["registered"].copy(), int(st["end"]),
+                int(st["windows_done"]))
+
+    def run(self, images: np.ndarray, output_dir: str | None = None,
+            resume_from: str | None = None,
+            checkpoint_path: str | None = None):
+        """images: (T, R, R, 3) in [0, 1]. Returns predictions dict.
+
+        `resume_from` restores a prior `checkpoint_path` state and
+        continues from its window cursor; `checkpoint_path` saves state
+        after every joint BA.
+        """
         cfg = self.cfg
         T, R_img = images.shape[0], images.shape[1]
         W = R_img
         H = R_img
 
-        reg = MapRegistry()
-        extrinsics = np.zeros((T, 3, 4), np.float32)
-        intrinsics = np.zeros((T, 3, 3), np.float32)
-        registered = np.zeros((T,), bool)
+        if resume_from is not None:
+            (reg, extrinsics, intrinsics, registered, end,
+             windows_done) = self.load_checkpoint(resume_from)
+        else:
+            reg = MapRegistry()
+            extrinsics = np.zeros((T, 3, 4), np.float32)
+            intrinsics = np.zeros((T, 3, 3), np.float32)
+            registered = np.zeros((T,), bool)
 
-        # ---- initial window: full sparse solve
-        S0 = min(cfg.init_window_size, T)
-        init = self.r.sparse_reconstruct(images[:S0])
-        extrinsics[:S0] = init["extrinsics"]
-        intrinsics[:S0] = init["intrinsics"]
-        registered[:S0] = True
+            # ---- initial window: full sparse solve
+            S0 = min(cfg.init_window_size, T)
+            init = self.r.sparse_reconstruct(images[:S0])
+            extrinsics[:S0] = init["extrinsics"]
+            intrinsics[:S0] = init["intrinsics"]
+            registered[:S0] = True
 
-        valid = init["valid_tracks"]
-        pts = init["points3d"][valid]
-        obs2d = init["valid_2d_mask"][:, valid]
-        track2d = init["pred_track"][0][:, valid]
-        pids = reg.add_points(pts)
-        fr, pv = np.nonzero(obs2d)
-        reg.add_observations(fr, pids[pv], track2d[fr, pv])
+            valid = init["valid_tracks"]
+            pts = init["points3d"][valid]
+            obs2d = init["valid_2d_mask"][:, valid]
+            track2d = init["pred_track"][0][:, valid]
+            pids = reg.add_points(pts)
+            fr, pv = np.nonzero(obs2d)
+            reg.add_observations(fr, pids[pv], track2d[fr, pv])
 
-        windows_done = 0
-        end = S0
+            windows_done = 0
+            end = S0
         while end < T:
             w_end = min(end + cfg.window_size, T)
             q = end - 1  # query = last registered frame
@@ -225,6 +271,10 @@ class VideoRunner:
 
             if windows_done % cfg.joint_ba_interval == 0 or end >= T:
                 self._joint_ba(extrinsics, intrinsics, reg, registered)
+                if checkpoint_path is not None:
+                    self.save_checkpoint(checkpoint_path, reg, extrinsics,
+                                         intrinsics, registered, end,
+                                         windows_done)
 
         predictions = {
             "extrinsics": extrinsics,

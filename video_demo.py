@@ -26,6 +26,11 @@ def main(argv=None):
     p.add_argument("--max-query-pts", type=int, default=1024)
     p.add_argument("--query-method", default="sift")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--state-checkpoint", default=None,
+                   help="path prefix for pipeline-state checkpoints "
+                        "(saved after every joint BA)")
+    p.add_argument("--resume", default=None,
+                   help="resume from a prior --state-checkpoint prefix")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
     from vggsfm_tpu.datasets.demo_loader import DemoLoader
@@ -45,7 +50,9 @@ def main(argv=None):
 
     data = DemoLoader(args.scene_dir, img_size=args.img_size).load()
     out_dir = args.output or args.scene_dir
-    preds = runner.run(data["images"], output_dir=out_dir)
+    preds = runner.run(data["images"], output_dir=out_dir,
+                       resume_from=args.resume,
+                       checkpoint_path=args.state_checkpoint)
     print(json.dumps({
         "frames": int(preds["extrinsics"].shape[0]),
         "registered": int(preds["registered"].sum()),
