@@ -22,3 +22,10 @@ from vggsfm_tpu.twoview.essential import (
     remove_cheirality,
 )
 from vggsfm_tpu.twoview.preliminary import estimate_preliminary_cameras
+from vggsfm_tpu.twoview.five_point import run_5point, estimate_essential
+from vggsfm_tpu.twoview.pnp import absolute_pose_ransac, solve_pnp_dlt
+from vggsfm_tpu.twoview.homography import (
+    estimate_homography,
+    decompose_homography_matrix,
+    run_homography_dlt,
+)
