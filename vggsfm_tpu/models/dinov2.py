@@ -76,8 +76,12 @@ class DinoVisionTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images):
-        """(B, H, W, 3), resnet-normalized -> (B, (H/14)*(W/14), C)."""
+    def __call__(self, images, return_layers: tuple = ()):
+        """(B, H, W, 3), resnet-normalized -> (B, (H/14)*(W/14), C).
+
+        With `return_layers` (static block indices) also returns those
+        blocks' patch tokens (pre-final-norm) — the DPT depth head taps
+        intermediate layers this way."""
         B, H, W, _ = images.shape
         gh, gw = H // self.patch_size, W // self.patch_size
 
@@ -113,8 +117,14 @@ class DinoVisionTransformer(nn.Module):
                                  self.embed_dim))
         x = jnp.concatenate([cls, regs, x], axis=1)
 
+        taps = []
         for i in range(self.depth):
             x = DinoBlock(self.embed_dim, self.num_heads,
                           name=f"blocks_{i}", dtype=self.dtype)(x)
+            if i in return_layers:
+                taps.append(x[:, 1 + self.num_register_tokens:])
         x = nn.LayerNorm(epsilon=1e-6, name="norm", dtype=self.dtype)(x)
-        return x[:, 1 + self.num_register_tokens:]
+        out = x[:, 1 + self.num_register_tokens:]
+        if return_layers:
+            return out, taps
+        return out
