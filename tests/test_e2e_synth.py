@@ -1,0 +1,97 @@
+"""End-to-end geometric correctness on the synthetic oracle scene.
+
+The two-plane scene (vggsfm_tpu/utils/synth.py) has planted cameras; with
+matching-init tracking the full pipeline must recover them (AUC@30 against
+ground truth) and produce a non-empty reconstruction — this is the test
+the bench gate is built on.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vggsfm_tpu.geometry.metrics import pose_auc30, relative_pose_errors
+from vggsfm_tpu.utils.synth import render_two_plane_scene
+
+
+class TestSynthScene:
+    def test_render_shapes_and_texture(self):
+        scene = render_two_plane_scene(num_frames=3, image_size=96)
+        ims = scene["images"]
+        assert ims.shape == (3, 96, 96, 3)
+        assert ims.min() >= 0.0 and ims.max() <= 1.0
+        # images must have texture (not constant) and differ across frames
+        assert ims[0].std() > 0.05
+        assert np.abs(ims[0] - ims[1]).mean() > 0.01
+
+    def test_planted_geometry_self_consistent(self):
+        """Projecting a point on the fg plane with the planted cameras
+        lands where the rendered texture moved (parallax sanity)."""
+        scene = render_two_plane_scene(num_frames=2, image_size=128)
+        K = scene["intrinsics"][0].astype(np.float64)
+        X = np.array([0.0, 0.0, 4.0])  # on the background plane
+        for s in range(2):
+            E = scene["extrinsics"][s].astype(np.float64)
+            xc = E[:, :3] @ X + E[:, 3]
+            uv = (K @ xc)[:2] / (K @ xc)[2]
+            assert 0 <= uv[0] < 128 and 0 <= uv[1] < 128
+
+
+class TestMatchingInit:
+    def test_global_match_recovers_shift(self):
+        from vggsfm_tpu.models.tracker import global_match_coords
+
+        rng = np.random.default_rng(0)
+        H = W = 32
+        C = 16
+        base = rng.normal(size=(H, W, C)).astype(np.float32)
+        shift = 5
+        shifted = np.roll(base, shift, axis=1)  # move content right
+        fmaps = jnp.asarray(np.stack([base, shifted])[None])  # (1,2,H,W,C)
+        qp = jnp.asarray(
+            rng.uniform(8, 20, size=(1, 16, 2)).astype(np.float32))
+        # sample query feats at rounded positions for exactness
+        qp = jnp.round(qp)
+        qf = jnp.asarray(
+            base[qp[0, :, 1].astype(int), qp[0, :, 0].astype(int)])[None]
+        coords, conf, cyc = global_match_coords(fmaps, qf, qp, cycle=True)
+        coords, conf, cyc = map(np.asarray, (coords, conf, cyc))
+        assert np.allclose(coords[0, 0], np.asarray(qp[0]))
+        err = np.abs(coords[0, 1] - (np.asarray(qp[0])
+                                     + np.array([shift, 0.0])))
+        assert np.median(err) < 0.75
+        # exact copies -> peak cosine ~1 and near-zero cycle drift
+        assert conf.min() > 0.99
+        assert np.median(cyc[0, 1]) < 1.0
+
+
+@pytest.mark.slow
+class TestEndToEndSynth:
+    def test_reconstruct_two_plane_scene(self):
+        """Full pipeline (random weights + matching init) must recover the
+        planted cameras on a true-parallax scene."""
+        from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+
+        S, R = 4, 256
+        scene = render_two_plane_scene(num_frames=S, image_size=R,
+                                       baseline=0.15)
+        cfg = RunnerConfig(img_size=R, query_frame_num=1,
+                           max_query_pts=512, query_method="sift+harris",
+                           fine_tracking=True, comple_nonvis=False,
+                           robust_refine=1, ba_iters=1, shared_camera=True)
+        runner = VGGSfMRunner(cfg)
+        out = runner.sparse_reconstruct(scene["images"])
+
+        valid = int(out["valid_tracks"].sum())
+        assert valid > 50, f"expected a non-empty reconstruction, {valid}"
+
+        auc = float(np.asarray(pose_auc30(
+            jnp.asarray(out["extrinsics"]),
+            jnp.asarray(scene["extrinsics"]))))
+        r_err, t_err, mask = relative_pose_errors(
+            jnp.asarray(out["extrinsics"]),
+            jnp.asarray(scene["extrinsics"]))
+        r_med = float(np.median(np.asarray(r_err)[np.asarray(mask)]))
+        assert auc > 0.4, f"pose AUC@30 too low: {auc} (rot med {r_med})"
+        assert r_med < 5.0, f"median relative rotation error {r_med} deg"

@@ -227,6 +227,18 @@ def bundle_adjust(
           else jnp.zeros((S, 0), dtype))
     X0 = points3d.astype(dtype)
 
+    if cfg.shared_intrinsics:
+        # tying acts on the *delta* (one shared logf/extra step), so the
+        # values must be unified up front or per-frame differences from
+        # earlier stages persist forever
+        f0 = jnp.broadcast_to(jnp.exp(jnp.mean(jnp.log(
+            jnp.maximum(f0, 1e-6)))), f0.shape)
+        pp0 = jnp.broadcast_to(jnp.mean(pp0, axis=0, keepdims=True),
+                               pp0.shape)
+        if K:
+            k0 = jnp.broadcast_to(jnp.mean(k0, axis=0, keepdims=True),
+                                  k0.shape)
+
     if pose_free is None:
         pose_free = jnp.arange(S) != 0
     if intr_free is None:

@@ -53,6 +53,9 @@ class ConvBlock(nn.Module):
 class ResBlock(nn.Module):
     features: int
     dtype: Any = jnp.float32
+    # the official ALIKED passes a 1x1-conv downsample to every ResBlock,
+    # even when in/out channels match — keep it so converted weights align
+    force_downsample: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -62,7 +65,7 @@ class ResBlock(nn.Module):
         y = nn.Conv(self.features, (3, 3), padding=1, name="conv2",
                     dtype=self.dtype)(y)
         y = InferenceBatchNorm(self.features, name="bn2")(y)
-        if x.shape[-1] != self.features:
+        if self.force_downsample or x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1), name="downsample",
                         dtype=self.dtype)(x)
         return jax.nn.selu(x + y)
@@ -80,15 +83,23 @@ class ALIKED(nn.Module):
 
     @nn.compact
     def __call__(self, image):
-        """(B, H, W, 3) in [0, 1] -> score map (B, H, W) in [0, 1]."""
+        """(B, H, W, 3) in [0, 1] -> score map (B, H, W) in [0, 1].
+
+        Stage resolutions follow the official ALIKED-n16: 1, /2, /8, /32
+        (pool2 once, then pool4 twice) so converted weights see the same
+        receptive fields.
+        """
         B, H, W, _ = image.shape
         x1 = ConvBlock(self.c1, name="block1", dtype=self.dtype)(image)
         x2 = nn.avg_pool(x1, (2, 2), strides=(2, 2))
-        x2 = ResBlock(self.c2, name="block2", dtype=self.dtype)(x2)
-        x3 = nn.avg_pool(x2, (2, 2), strides=(2, 2))
-        x3 = ResBlock(self.c3, name="block3", dtype=self.dtype)(x3)
-        x4 = nn.avg_pool(x3, (2, 2), strides=(2, 2))
-        x4 = ResBlock(self.c4, name="block4", dtype=self.dtype)(x4)
+        x2 = ResBlock(self.c2, name="block2", dtype=self.dtype,
+                      force_downsample=True)(x2)
+        x3 = nn.avg_pool(x2, (4, 4), strides=(4, 4))
+        x3 = ResBlock(self.c3, name="block3", dtype=self.dtype,
+                      force_downsample=True)(x3)
+        x4 = nn.avg_pool(x3, (4, 4), strides=(4, 4))
+        x4 = ResBlock(self.c4, name="block4", dtype=self.dtype,
+                      force_downsample=True)(x4)
 
         d = self.dim // 4
         f1 = jax.nn.selu(nn.Conv(d, (1, 1), name="conv1",
@@ -115,3 +126,62 @@ class ALIKED(nn.Module):
         s = nn.Conv(1, (3, 3), padding=1, name="score_head4",
                     dtype=self.dtype)(s)
         return jax.nn.sigmoid(s.astype(jnp.float32))[..., 0]
+
+
+def convert_aliked_checkpoint(state_dict) -> dict:
+    """Official ALIKED(-n16) torch state_dict -> Flax params.
+
+    Maps `block1..block4` (ConvBlock / torchvision-style ResBlock with a
+    plain 1x1-conv downsample), the `conv1..conv4` 1x1 projections, and the
+    `score_head.{0,2,4,6}` Sequential. BatchNorm running statistics are
+    folded into InferenceBatchNorm (scale, bias). SDDH / descriptor keys
+    are ignored (score branch only).
+    """
+    import numpy as np
+
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+
+    def arr(k):
+        v = sd[k]
+        return np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v)
+
+    def conv(prefix, bias=True):
+        out = {"kernel": arr(f"{prefix}.weight").transpose(2, 3, 1, 0)}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = arr(f"{prefix}.bias")
+        else:
+            out["bias"] = np.zeros(out["kernel"].shape[-1], np.float32)
+        return out
+
+    def bn(prefix, eps=1e-5):
+        scale = arr(f"{prefix}.weight") / np.sqrt(
+            arr(f"{prefix}.running_var") + eps)
+        bias = arr(f"{prefix}.bias") - arr(f"{prefix}.running_mean") * scale
+        return {"scale": scale.astype(np.float32),
+                "bias": bias.astype(np.float32)}
+
+    def block(prefix, has_down):
+        p = {"conv1": conv(f"{prefix}.conv1"),
+             "bn1": bn(f"{prefix}.bn1"),
+             "conv2": conv(f"{prefix}.conv2"),
+             "bn2": bn(f"{prefix}.bn2")}
+        if has_down and f"{prefix}.downsample.weight" in sd:
+            p["downsample"] = conv(f"{prefix}.downsample")
+        return p
+
+    params = {
+        "block1": block("block1", False),
+        "block2": block("block2", True),
+        "block3": block("block3", True),
+        "block4": block("block4", True),
+        "conv1": conv("conv1"),
+        "conv2": conv("conv2"),
+        "conv3": conv("conv3"),
+        "conv4": conv("conv4"),
+        "score_head1": conv("score_head.0"),
+        "score_head2": conv("score_head.2"),
+        "score_head3": conv("score_head.4"),
+        "score_head4": conv("score_head.6"),
+    }
+    return {"params": params}

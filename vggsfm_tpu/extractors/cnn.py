@@ -1,0 +1,101 @@
+"""Learned keypoint extractors wired for query-point dispatch.
+
+Parity: vggsfm/runners/runner.py:1374-1392 — the reference instantiates
+LightGlue's ALIKED / SuperPoint and takes their keypoints. Here the CNNs
+run in Flax (vggsfm_tpu.extractors.{aliked,superpoint}); score-map peaks
+go through the shared NMS + top-K (`superpoint_keypoints_from_heatmap`).
+
+Checkpoints: set ``VGGSFM_TPU_ALIKED_CKPT`` / ``VGGSFM_TPU_SUPERPOINT_CKPT``
+to torch checkpoint paths, or call :func:`load_aliked_params` /
+:func:`load_superpoint_params` directly. Without a checkpoint the models
+run with deterministic random init — still a usable detector (a random
+conv-selu score map fires on texture), and the full CNN path is exercised
+either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from vggsfm_tpu.extractors.aliked import ALIKED, convert_aliked_checkpoint
+from vggsfm_tpu.extractors.superpoint import (
+    SuperPoint,
+    convert_superpoint_checkpoint,
+    superpoint_keypoints_from_heatmap,
+)
+
+_CACHE: dict = {}
+
+
+def _load_torch(path):
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return sd
+
+
+def load_aliked_params():
+    if "aliked_params" not in _CACHE:
+        path = os.environ.get("VGGSFM_TPU_ALIKED_CKPT", "")
+        model = ALIKED()
+        if path and os.path.exists(path):
+            params = jax.tree.map(jnp.asarray,
+                                  convert_aliked_checkpoint(_load_torch(path)))
+        else:
+            params = jax.jit(model.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        _CACHE["aliked_params"] = params
+    return _CACHE["aliked_params"]
+
+
+def load_superpoint_params():
+    if "superpoint_params" not in _CACHE:
+        path = os.environ.get("VGGSFM_TPU_SUPERPOINT_CKPT", "")
+        model = SuperPoint()
+        if path and os.path.exists(path):
+            params = jax.tree.map(
+                jnp.asarray, convert_superpoint_checkpoint(_load_torch(path)))
+        else:
+            params = jax.jit(model.init)(
+                jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))
+        _CACHE["superpoint_params"] = params
+    return _CACHE["superpoint_params"]
+
+
+def _aliked_apply(params, image):
+    return ALIKED().apply(params, image)
+
+
+def _superpoint_apply(params, image):
+    return SuperPoint().apply(params, image)
+
+
+def detect_aliked_keypoints(image: jax.Array, max_keypoints: int = 4096,
+                            nms_radius: int = 2):
+    """(H, W, 3) RGB in [0, 1] -> (xy (K, 2), score (K,), valid (K,)).
+
+    ALIKED score map -> NMS peaks, strongest first (the reference's default
+    extractor, cfgs/demo.yaml:49).
+    """
+    if "aliked_apply" not in _CACHE:
+        _CACHE["aliked_apply"] = jax.jit(_aliked_apply)
+    params = load_aliked_params()
+    score_map = _CACHE["aliked_apply"](params, image[None])[0]
+    return superpoint_keypoints_from_heatmap(
+        score_map, max_keypoints, nms_radius=nms_radius)
+
+
+def detect_superpoint_keypoints(image: jax.Array, max_keypoints: int = 4096,
+                                nms_radius: int = 4):
+    """(H, W) grayscale in [0, 1] -> (xy (K, 2), score (K,), valid (K,))."""
+    if "superpoint_apply" not in _CACHE:
+        _CACHE["superpoint_apply"] = jax.jit(_superpoint_apply)
+    params = load_superpoint_params()
+    heat, _ = _CACHE["superpoint_apply"](params, image[None, ..., None])
+    return superpoint_keypoints_from_heatmap(
+        heat[0], max_keypoints, nms_radius=nms_radius)

@@ -51,10 +51,20 @@ def get_query_points(query_image: jax.Array, key: jax.Array,
     for method in query_method.split("+"):
         if method == "sift":
             xy, score, valid = detect_dog_keypoints(gray, per_method)
-        elif method in ("harris", "aliked", "sp", "superpoint"):
-            # aliked/superpoint fall back to harris until their CNN ports
-            # carry converted weights
+        elif method == "harris":
             xy, score, valid = detect_harris_keypoints(gray, per_method)
+        elif method == "aliked":
+            from vggsfm_tpu.extractors.cnn import detect_aliked_keypoints
+
+            rgb = (query_image if query_image.ndim == 3
+                   else jnp.repeat(query_image[..., None], 3, axis=-1))
+            xy, score, valid = detect_aliked_keypoints(rgb, per_method)
+        elif method in ("sp", "superpoint"):
+            from vggsfm_tpu.extractors.cnn import (
+                detect_superpoint_keypoints,
+            )
+
+            xy, score, valid = detect_superpoint_keypoints(gray, per_method)
         elif method == "grid":
             xy = grid_keypoints(H, W, per_method)
             valid = jnp.ones(xy.shape[0], bool)

@@ -173,6 +173,61 @@ def arrays_to_reconstruction(
     return Reconstruction(cameras, images, points3D)
 
 
+def rescale_reconstruction_to_original(
+    rec: Reconstruction,
+    crop_params: np.ndarray,
+    img_size: int,
+    image_names: list | None = None,
+    shift_point2d_to_original_res: bool = True,
+    shared_camera: bool = False,
+) -> Reconstruction:
+    """Map a reconstruction from resized-square space back to original
+    image coordinates, in place.
+
+    Parity: runners/runner.py:1009-1052
+    (`rename_colmap_recons_and_rescale_camera`): per image, focal scales by
+    max(W, H)/img_size, the principal point becomes (W//2, H//2), the
+    camera's width/height become the original size, and points2D shift by
+    the (padded) crop offset then rescale. With `shared_camera` the single
+    camera is rescaled once (using frame 0's original size, like the
+    reference's first-image win).
+
+    Args:
+      crop_params: (S, 8) rows [W, H, crop_width, s, bbox_after(4)] from
+        `pad_and_resize_image` (bbox_after is at resized-square scale).
+    """
+    crop_params = np.asarray(crop_params, np.float64)
+    rescale_camera = True
+    for s, im_id in enumerate(sorted(rec.images)):
+        image = rec.images[im_id]
+        camera = rec.cameras[image.camera_id]
+        if image_names is not None:
+            image.name = image_names[s]
+
+        real_w, real_h = crop_params[s, 0], crop_params[s, 1]
+        ratio = max(real_w, real_h) / float(img_size)
+
+        if rescale_camera:
+            params = np.asarray(camera.params, np.float64).copy()
+            if camera.model in ("PINHOLE", "OPENCV"):
+                params[0:2] *= ratio
+                params[2:4] = [real_w // 2, real_h // 2]
+            else:  # SIMPLE_* layouts: [f, cx, cy, ...]
+                params[0] *= ratio
+                params[1:3] = [real_w // 2, real_h // 2]
+            camera.params = params
+            camera.width = int(real_w)
+            camera.height = int(real_h)
+        if shared_camera:
+            rescale_camera = False
+
+        if shift_point2d_to_original_res and len(image.xys):
+            top_left = np.abs(crop_params[s, 4:6])
+            image.xys = (np.asarray(image.xys, np.float64)
+                         - top_left) * ratio
+    return rec
+
+
 def reconstruction_to_arrays(rec: Reconstruction, num_points: int | None = None):
     """Ragged Reconstruction -> dense arrays.
 

@@ -118,6 +118,18 @@ class CameraPredictor(nn.Module):
 
         return feat[:, :, 0]  # pose token per frame
 
+    def frame_descriptors(self, images):
+        """(B, S, H, W, 3) in [0,1] -> (B, S, z_dim) mean DINOv2 patch
+        tokens, the frame descriptor for DINO-similarity query ranking
+        (parity: utils/utils.py:265-308 `generate_rank_by_dino`)."""
+        B, S, H, W, _ = images.shape
+        x = images.reshape(B * S, H, W, 3)
+        if (H, W) != (self.down_size, self.down_size):
+            x = interpolate_bilinear(x, (self.down_size, self.down_size))
+        x = (x - _RESNET_MEAN) / _RESNET_STD
+        feat = self.backbone(x)  # (B*S, P, z_dim)
+        return jnp.mean(feat, axis=1).reshape(B, S, -1).astype(jnp.float32)
+
     def __call__(self, images, iters: int = 4, rgb_feat_init=None):
         """Returns dict with ``pred_pose_enc`` (B, S, 8) and
         ``rgb_feat_init`` for reuse across query orderings

@@ -48,18 +48,122 @@ def extract_patches(images: jax.Array, centers: jax.Array, pradius: int):
     return patches, topleft
 
 
+def ncc_subpixel_refine(images: jax.Array, coords: jax.Array,
+                        search: int = 3, win: int = 3) -> jax.Array:
+    """Classical NCC template-matching polish on raw pixels.
+
+    For every track and frame, slide the query frame's (2*win+1)^2
+    grayscale window over a +/-search integer grid centered on the current
+    estimate, take the NCC argmax, and parabola-fit to sub-pixel. This is
+    the weights-free accuracy stage (the reference relies on its trained
+    fine tracker for sub-pixel precision; with random weights feature
+    matching bottoms out at ~1-2 px, while raw-pixel NCC is exact wherever
+    appearance is locally preserved).
+
+    Args:
+      images: (B, S, H, W, 3) in [0, 1].
+      coords: (B, S, N, 2) track estimates (frame 0 = query, stays pinned).
+
+    Returns refined coords (B, S, N, 2).
+    """
+    B, S, H, W, _ = images.shape
+    N = coords.shape[2]
+    gray = (0.299 * images[..., 0] + 0.587 * images[..., 1]
+            + 0.114 * images[..., 2])  # (B, S, H, W)
+    wsz = 2 * win + 1
+    gsz = wsz + 2 * search  # gathered region per frame
+
+    # template: bilinear window at the (fractional) query position
+    qxy = coords[:, 0]  # (B, N, 2)
+    dy, dx = jnp.meshgrid(jnp.arange(-win, win + 1),
+                          jnp.arange(-win, win + 1), indexing="ij")
+    tx = qxy[..., 0, None, None] + dx  # (B, N, w, w)
+    ty = qxy[..., 1, None, None] + dy
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+    fx = (tx - x0)[..., None]
+    fy = (ty - y0)[..., None]
+
+    def gather0(ix, iy):
+        ixc = jnp.clip(ix.astype(jnp.int32), 0, W - 1)
+        iyc = jnp.clip(iy.astype(jnp.int32), 0, H - 1)
+        flat = gray[:, 0].reshape(B, H * W)
+        return jnp.take_along_axis(
+            flat, (iyc * W + ixc).reshape(B, -1), axis=1
+        ).reshape(B, N, wsz, wsz)[..., None]
+
+    tmpl = ((1 - fy) * ((1 - fx) * gather0(x0, y0)
+                        + fx * gather0(x0 + 1, y0))
+            + fy * ((1 - fx) * gather0(x0, y0 + 1)
+                    + fx * gather0(x0 + 1, y0 + 1)))[..., 0]
+    tmpl = tmpl.reshape(B, N, wsz * wsz)
+    tmpl = tmpl - jnp.mean(tmpl, axis=-1, keepdims=True)
+    tmpl = tmpl * jax.lax.rsqrt(
+        jnp.sum(tmpl * tmpl, axis=-1, keepdims=True) + 1e-8)
+
+    # gathered (wsz+2*search)^2 region at the rounded estimate, per frame
+    base = jnp.round(coords).astype(jnp.int32)  # (B, S, N, 2)
+    gy, gx = jnp.meshgrid(jnp.arange(-win - search, win + search + 1),
+                          jnp.arange(-win - search, win + search + 1),
+                          indexing="ij")
+    rx = jnp.clip(base[..., 0, None, None] + gx, 0, W - 1)
+    ry = jnp.clip(base[..., 1, None, None] + gy, 0, H - 1)
+    flat = gray.reshape(B * S, H * W)
+    idx = (ry * W + rx).reshape(B * S, N * gsz * gsz)
+    region = jnp.take_along_axis(flat, idx, axis=1).reshape(
+        B, S, N, gsz, gsz)
+
+    # NCC over the (2*search+1)^2 offsets
+    osz = 2 * search + 1
+    offs = []
+    for oy in range(osz):
+        for ox in range(osz):
+            w = region[..., oy: oy + wsz, ox: ox + wsz].reshape(
+                B, S, N, wsz * wsz)
+            w = w - jnp.mean(w, axis=-1, keepdims=True)
+            denom = jax.lax.rsqrt(jnp.sum(w * w, axis=-1) + 1e-8)
+            offs.append(jnp.einsum("bnk,bsnk->bsn", tmpl, w) * denom)
+    ncc = jnp.stack(offs, axis=-1)  # (B, S, N, osz*osz)
+
+    best = jnp.argmax(ncc, axis=-1)
+    by = best // osz
+    bx = best % osz
+
+    def val(dy_, dx_):
+        yy = jnp.clip(by + dy_, 0, osz - 1)
+        xx = jnp.clip(bx + dx_, 0, osz - 1)
+        return jnp.take_along_axis(ncc, (yy * osz + xx)[..., None],
+                                   axis=-1)[..., 0]
+
+    c0 = val(0, 0)
+
+    def parabola(cm, cp):
+        denom = cm + cp - 2.0 * c0
+        off = 0.5 * (cm - cp) / jnp.where(jnp.abs(denom) < 1e-12, 1.0,
+                                          denom)
+        return jnp.clip(off, -0.5, 0.5)
+
+    sub_x = parabola(val(0, -1), val(0, 1))
+    sub_y = parabola(val(-1, 0), val(1, 0))
+    out = jnp.stack(
+        [base[..., 0] + (bx - search) + sub_x,
+         base[..., 1] + (by - search) + sub_y], axis=-1)
+    return out.at[:, 0].set(coords[:, 0])
+
+
 def refine_track(images, fine_fnet_apply, fine_tracker_apply, coarse_pred,
                  compute_score: bool = True, pradius: int = 15,
-                 sradius: int = 2, fine_iters: int = 6):
+                 sradius: int = 2, fine_iters: int = 6,
+                 matching_init: bool = False, subpixel_refine: bool = False):
     """Refine coarse tracks on local patches with the fine tracker.
 
     Args:
       images: (B, S, H, W, 3) in [0, 1].
       fine_fnet_apply: (B', psize, psize, 3) -> (B', psize, psize, C)
         bound ShallowEncoder apply.
-      fine_tracker_apply: (query_points, fmaps, iters, return_feat) ->
-        (coord_preds, vis, track_feats, query_feats) bound fine
-        BaseTrackerPredictor apply.
+      fine_tracker_apply: (query_points, fmaps, iters, return_feat,
+        matching_init) -> (coord_preds, vis, track_feats, query_feats)
+        bound fine BaseTrackerPredictor apply.
       coarse_pred: (B, S, N, 2) coarse track positions.
 
     Returns (refined_tracks (B, S, N, 2), score (B, S, N) or None).
@@ -81,12 +185,14 @@ def refine_track(images, fine_fnet_apply, fine_tracker_apply, coarse_pred,
     patch_query = (track_frac[:, 0] + pradius).reshape(B * N, 1, 2)
 
     coord_preds, _, _, query_feat = fine_tracker_apply(
-        patch_query, patch_fmaps, fine_iters, True)
+        patch_query, patch_fmaps, fine_iters, True, matching_init)
 
     fine_patch_track = coord_preds[-1]  # (B*N, S, 1, 2) patch coords
     fine_level = fine_patch_track.reshape(B, N, S, 2).transpose(0, 2, 1, 3)
     refined = fine_level + topleft
     refined = refined.at[:, 0].set(coarse_pred[:, 0])
+    if subpixel_refine:
+        refined = ncc_subpixel_refine(images, refined)
 
     score = None
     if compute_score:

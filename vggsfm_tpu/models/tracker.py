@@ -112,6 +112,108 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
     return jnp.concatenate(out, axis=-1)
 
 
+def global_match_coords(fmaps: jax.Array, query_feats: jax.Array,
+                        qp: jax.Array, cycle: bool = False):
+    """Correlation-argmax track initialization (weights-free matching).
+
+    For each frame, find the fmap cell whose feature best correlates with
+    the query feature (one big MXU matmul per frame), then refine to
+    sub-cell precision with a separable parabola fit on the 3x3 corr
+    neighborhood (scale-invariant, unlike a softmax soft-argmax).
+
+    This is additional machinery relative to the reference (which always
+    starts tracks at the query position, base_track_predictor.py:104, and
+    relies on trained weights to walk them over): with matching init the
+    tracker degrades gracefully to a real correlation tracker when weights
+    are random, and converted weights start their iterative refinement from
+    a wide-baseline-robust initialization.
+
+    Args:
+      fmaps: (B, S, H, W, C) level-0 feature maps.
+      query_feats: (B, N, C) features sampled at the query points (frame 0).
+      qp: (B, N, 2) query positions at fmap scale (frame 0 stays pinned).
+
+    Returns (coords (B, S, N, 2) at fmap scale,
+             conf (B, S, N) peak cosine similarity in [-1, 1],
+             cyc_dist (B, S, N) forward-backward match distance in fmap
+             cells, or None when `cycle` is False). Cycle distance is the
+             robust match-validity signal: a correct match re-matches to
+             within ~1 cell of the query point, a spurious one lands
+             anywhere.
+    """
+    B, S, H, W, C = fmaps.shape
+    N = query_feats.shape[1]
+
+    # cosine similarity, not raw dot product: an unnormalized argmax is
+    # attracted to high-norm cells regardless of appearance (the iterative
+    # refinement's corr features keep the reference's dot-product form —
+    # only the init matches with NCC semantics)
+    def l2n(x):
+        return x * jax.lax.rsqrt(
+            jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                    keepdims=True) + 1e-12).astype(x.dtype)
+
+    qf = l2n(query_feats.astype(fmaps.dtype))
+    fmaps = l2n(fmaps)
+
+    def match(fm, feats):
+        """Argmax + parabola sub-cell fit of feats against one frame.
+
+        fm (B, H, W, C), feats (B, N, C) -> (xy (B, N, 2), peak (B, N)).
+        f32 accumulation: bf16 corr values tie-break randomly between
+        near-identical cells (8 mantissa bits); the MXU accumulates
+        bf16 x bf16 -> f32 natively so this costs nothing.
+        """
+        corr = jnp.einsum("bhwc,bnc->bnhw", fm, feats,
+                          preferred_element_type=jnp.float32)
+        flat = corr.reshape(B, N, H * W)
+        idx = jnp.argmax(flat, axis=-1)  # (B, N)
+        iy = idx // W
+        ix = idx % W
+
+        def val(dy, dx):
+            yy = jnp.clip(iy + dy, 0, H - 1)
+            xx = jnp.clip(ix + dx, 0, W - 1)
+            return jnp.take_along_axis(flat, (yy * W + xx)[..., None],
+                                       axis=-1)[..., 0]
+
+        c0 = val(0, 0)
+
+        def parabola(cm, cp):
+            denom = cm + cp - 2.0 * c0
+            off = 0.5 * (cm - cp) / jnp.where(jnp.abs(denom) < 1e-12, 1.0,
+                                              denom)
+            return jnp.clip(off, -0.5, 0.5)
+
+        off_x = parabola(val(0, -1), val(0, 1))
+        off_y = parabola(val(-1, 0), val(1, 0))
+        xy = jnp.stack([ix + off_x, iy + off_y],
+                       axis=-1).astype(jnp.float32)
+        return xy, c0
+
+    fm0 = fmaps[:, 0]
+
+    def one_frame(fm):
+        xy, c0 = match(fm, qf)
+        if not cycle:
+            return xy, c0, jnp.zeros_like(c0)
+        # forward-backward check: re-match the matched feature into the
+        # query frame and measure how far it lands from the query point
+        feats_m = l2n(bilinear_sample(fm, xy).astype(fmaps.dtype))
+        back_xy, _ = match(fm0, feats_m)
+        d = jnp.linalg.norm(back_xy - qp.astype(jnp.float32), axis=-1)
+        return xy, c0, d
+
+    coords, conf, cyc = jax.lax.map(one_frame,
+                                    fmaps.transpose(1, 0, 2, 3, 4))
+    coords = coords.transpose(1, 0, 2, 3)  # (B, S, N, 2)
+    conf = conf.transpose(1, 0, 2)  # (B, S, N)
+    coords = coords.at[:, 0].set(qp.astype(jnp.float32))
+    if not cycle:
+        return coords, conf, None
+    return coords, conf, cyc.transpose(1, 0, 2).at[:, 0].set(0.0)
+
+
 class EfficientUpdateFormer(nn.Module):
     """Factored time/space transformer with virtual-track tokens.
 
@@ -181,7 +283,11 @@ class EfficientUpdateFormer(nn.Module):
         if self.add_space_attn:
             tokens = tokens[:, : Ntot - V]
         tokens = tokens + init_tokens
+        # zero-init so a freshly-initialized tracker predicts exactly zero
+        # deltas (preserving the matching init); converted checkpoints
+        # overwrite this
         return nn.Dense(self.output_dim, name="flow_head",
+                        kernel_init=nn.initializers.zeros,
                         dtype=self.dtype)(tokens)
 
 
@@ -209,7 +315,8 @@ class BaseTrackerPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, query_points, fmaps, iters: int = 4,
-                 down_ratio: int = 1, return_feat: bool = False):
+                 down_ratio: int = 1, return_feat: bool = False,
+                 matching_init: bool = False, matching_vis: bool = False):
         """query_points (B, N, 2) pixels; fmaps (B, S, HH, WW, C).
 
         Returns (coord_predictions list, visibility (B, S, N) or None
@@ -226,6 +333,11 @@ class BaseTrackerPredictor(nn.Module):
 
         query_feats = sample_features4d(fmaps[:, 0], qp)
         track_feats = jnp.broadcast_to(query_feats[:, None], (B, S, N, C))
+
+        match_cyc = None
+        if matching_init:
+            coords, _, match_cyc = global_match_coords(
+                fmaps, query_feats, qp, cycle=matching_vis)
 
         pyramid = build_corr_pyramid(fmaps, self.corr_levels)
 
@@ -291,9 +403,17 @@ class BaseTrackerPredictor(nn.Module):
             coord_preds.append(coords * scale)
 
         if not self.fine:
-            vis = nn.Dense(1, name="vis_predictor", dtype=self.dtype)(
-                track_feats.reshape(-1, self.latent_dim))
-            vis = jax.nn.sigmoid(vis.astype(jnp.float32).reshape(B, S, N))
+            if matching_vis and match_cyc is not None:
+                # weights-free visibility: forward-backward consistency of
+                # the global match (an untrained vis head outputs noise
+                # that gates out most tracks). ~1: re-matches the query
+                # cell; ->0 beyond ~3 cells of cycle drift.
+                vis = jax.nn.sigmoid(2.0 * (1.5 - match_cyc))
+            else:
+                vis = nn.Dense(1, name="vis_predictor", dtype=self.dtype)(
+                    track_feats.reshape(-1, self.latent_dim))
+                vis = jax.nn.sigmoid(
+                    vis.astype(jnp.float32).reshape(B, S, N))
         else:
             vis = None
 
@@ -345,9 +465,11 @@ class TrackerPredictor(nn.Module):
     def apply_fine_fnet(self, patches):
         return self.fine_fnet(patches)
 
-    def apply_fine_predictor(self, query_points, fmaps, iters, return_feat):
+    def apply_fine_predictor(self, query_points, fmaps, iters, return_feat,
+                             matching_init=False):
         return self.fine_predictor(query_points, fmaps, iters=iters,
-                                   return_feat=return_feat)
+                                   return_feat=return_feat,
+                                   matching_init=matching_init)
 
     def process_images_to_fmaps(self, images):
         """(B, S, H, W, 3) in [0,1] -> (B, S, H', W', 128) coarse features."""
@@ -360,7 +482,8 @@ class TrackerPredictor(nn.Module):
         fmaps = self.coarse_fnet(x)
         return fmaps.reshape((B, S) + fmaps.shape[1:])
 
-    def __call__(self, images, query_points, fmaps=None, coarse_iters=6):
+    def __call__(self, images, query_points, fmaps=None, coarse_iters=6,
+                 matching_init=False, matching_vis=False):
         """Coarse-only forward (fine refinement runs via refine_track).
 
         Returns (coarse_pred_track (B,S,N,2), pred_vis (B,S,N)).
@@ -369,5 +492,6 @@ class TrackerPredictor(nn.Module):
             fmaps = self.process_images_to_fmaps(images)
         coord_preds, vis = self.coarse_predictor(
             query_points, fmaps, iters=coarse_iters,
-            down_ratio=self.coarse_down_ratio)
+            down_ratio=self.coarse_down_ratio, matching_init=matching_init,
+            matching_vis=matching_vis)
         return coord_preds[-1], vis

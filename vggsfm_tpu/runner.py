@@ -29,9 +29,26 @@ from vggsfm_tpu.io import arrays_to_reconstruction, write_model
 from vggsfm_tpu.models import CameraPredictor, TrackerPredictor
 from vggsfm_tpu.models.refine import refine_track
 from vggsfm_tpu.models.sampling import sample_features4d
+from vggsfm_tpu.geometry.cameras import cam_from_img
+from vggsfm_tpu.ops.triangulation import triangulate_by_pair
 from vggsfm_tpu.sfm import SfmConfig, run_sfm
 from vggsfm_tpu.twoview import estimate_preliminary_cameras
 from vggsfm_tpu.utils.cache import enable_compilation_cache
+
+
+def _score_camera_init(extr, intr, tracks, vis, fmat_mask):
+    """Init-pair support under a candidate camera set.
+
+    Counts, for the best partner frame, the tracks that are epipolar
+    inliers, cheirality-consistent, and well-conditioned (triangulation
+    angle >= 2 deg) — the same quantities `find_best_initial_pair` ranks
+    with. A failed camera prediction (wild focal / wrong geometry) scores
+    near zero, letting the runner fall back to two-view initialization.
+    """
+    tracks_norm = cam_from_img(tracks, intr)
+    _, cheir, tri = triangulate_by_pair(jnp.asarray(extr), tracks_norm)
+    inl = fmat_mask & (vis > 0.05)[1:] & cheir & (tri >= 2.0)
+    return jnp.max(jnp.sum(inl, axis=-1))
 
 
 @dataclasses.dataclass
@@ -41,7 +58,7 @@ class RunnerConfig:
     img_size: int = 1024
     query_frame_num: int = 3
     max_query_pts: int = 4096
-    query_method: str = "sift"
+    query_method: str = "aliked"  # reference default, cfgs/demo.yaml:49
     fine_tracking: bool = True
     coarse_iters: int = 6
     max_points_num: int = 163840  # track-frames per coarse tracker call
@@ -51,6 +68,12 @@ class RunnerConfig:
     max_fine_points_num: int = 8192
     comple_nonvis: bool = True
     min_vis_points: int = 500
+    # ensemble camera predictions over the query orderings (reference
+    # default avg_pose=True, cfgs/demo.yaml:40, utils/utils.py:25-127)
+    avg_pose: bool = True
+    # midpoint query ranking instead of DINO-similarity FPS (reference
+    # query_by_midpoint, cfgs/demo.yaml:62; DINO is the default path)
+    query_by_midpoint: bool = False
     camera_type: str = "SIMPLE_PINHOLE"
     shared_camera: bool = False
     robust_refine: int = 2
@@ -60,6 +83,15 @@ class RunnerConfig:
     seed: int = 0
     checkpoint: str | None = None
     extract_color: bool = True
+    # correlation-argmax track initialization (weights-free operating mode;
+    # see models/tracker.py:global_match_coords). With converted reference
+    # weights this can be disabled for exact reference-parity behavior.
+    matching_init: bool = True
+    # SfM camera initialization: 'neural' (camera predictor, the reference's
+    # only mode), 'twoview' (chained essential-matrix poses from the
+    # preliminary estimator), or 'hybrid' (score both by init-pair support
+    # and pick the winner — robust to a failed neural prediction)
+    camera_init: str = "hybrid"
     # 'bf16' runs the neural path in bfloat16 (parity with the reference's
     # fp16 autocast default, cfgs/demo.yaml:16); geometry stays f32
     precision: str = "bf16"
@@ -79,6 +111,7 @@ class VGGSfMRunner:
                                         use_pallas_corr=use_pallas)
         self.camera = CameraPredictor(dtype=dtype)
         self._params = None
+        self._weights_loaded = False
         self._jit_cache = {}
 
     # ------------------------------------------------------------------
@@ -100,6 +133,7 @@ class VGGSfMRunner:
 
             sd = torch.load(ckpt, map_location="cpu")
             converted = convert_vggsfm_checkpoint(sd)
+            self._weights_loaded = True
             return {"tracker": jax.tree.map(jnp.asarray,
                                             converted["tracker"]),
                     "camera": jax.tree.map(jnp.asarray,
@@ -130,51 +164,86 @@ class VGGSfMRunner:
         return fn(self.params["tracker"], images)
 
     def _coarse_track(self, fmaps, qp):
+        minit = self.cfg.matching_init
+        params = self.params["tracker"]  # resolve before reading the flag
+        mvis = minit and not self._weights_loaded
+
         def fn(p, f, q):
             preds, vis = self.tracker.apply(
                 p, q, f, self.cfg.coarse_iters, self.tracker.coarse_down_ratio,
                 method=lambda m, qq, ff, iters, dr: m.coarse_predictor(
-                    qq, ff, iters=iters, down_ratio=dr))
+                    qq, ff, iters=iters, down_ratio=dr,
+                    matching_init=minit, matching_vis=mvis))
             return preds[-1], vis
-        return self._stage("coarse", fn)(self.params["tracker"], fmaps, qp)
+        return self._stage("coarse", fn)(params, fmaps, qp)
 
     def _fine_track(self, images, coarse):
+        minit = self.cfg.matching_init
+        params = self.params["tracker"]
+        # NCC polish only in the weights-free mode; a converted fine
+        # tracker is already sub-pixel accurate
+        subpix = minit and not self._weights_loaded
+
         def fn(p, im, tr):
             def fnet(x):
                 return self.tracker.apply(p, x, method="apply_fine_fnet")
 
-            def ftrack(q, f, iters, return_feat):
+            def ftrack(q, f, iters, return_feat, matching_init):
                 return self.tracker.apply(p, q, f, iters, return_feat,
+                                          matching_init,
                                           method="apply_fine_predictor")
 
-            return refine_track(im, fnet, ftrack, tr, compute_score=True)
-        return self._stage("fine", fn)(self.params["tracker"], images,
-                                       coarse)
+            return refine_track(im, fnet, ftrack, tr, compute_score=True,
+                                matching_init=minit,
+                                subpixel_refine=subpix)
+        return self._stage("fine", fn)(params, images, coarse)
 
     def _camera_forward(self, images):
         fn = self._stage("camera", lambda p, im: self.camera.apply(
             p, im, iters=4))
         return fn(self.params["camera"], images)
 
+    def _frame_descriptors(self, images):
+        fn = self._stage("dino_desc", lambda p, im: self.camera.apply(
+            p, im, method="frame_descriptors"))
+        return fn(self.params["camera"], images)
+
     # ------------------------------------------------------------------
     # orchestration
     # ------------------------------------------------------------------
 
-    def select_query_frames(self, num_frames: int) -> list[int]:
-        """Uniformly spread query frames (the reference's 'midpoint'
-        strategy, utils/utils.py:234-262; DINO-similarity FPS later)."""
-        q = min(self.cfg.query_frame_num, num_frames)
-        if q <= 1:
-            return [0]
-        idx = np.linspace(0, num_frames - 1, q).round().astype(int)
-        return sorted(set(int(i) for i in idx))
+    def select_query_frames(self, images) -> list[int]:
+        """Rank query frames: DINO-similarity farthest-point sampling by
+        default, midpoint spread as the configured fallback.
 
-    def predict_tracks(self, images, fmaps, query_indices, masks=None):
+        Parity: runners/runner.py:344-354 (generate_rank_by_dino /
+        generate_rank_by_midpoint via cfg.query_by_midpoint).
+        """
+        from vggsfm_tpu.utils.camera_avg import (
+            rank_by_dino_similarity,
+            rank_by_midpoint,
+        )
+
+        S = images.shape[1]
+        q = min(self.cfg.query_frame_num, S)
+        if q <= 1 or S <= 2:
+            return [0]
+        if self.cfg.query_by_midpoint:
+            return rank_by_midpoint(S, q)
+        desc = self._frame_descriptors(images)
+        return rank_by_dino_similarity(desc[0], q)[:q]
+
+    def predict_tracks(self, images, fmaps, query_indices, masks=None,
+                       query_method=None, max_query_pts=None):
         """Track from each query frame; concat over queries.
 
         Parity: runner.py:1068-1198 (frame-order swap + point chunking).
+        `query_method` / `max_query_pts` override the config (used by the
+        non-visible-frame escalation).
         """
         cfg = self.cfg
+        query_method = query_method or cfg.query_method
+        max_query_pts = max_query_pts or cfg.max_query_pts
         B, S = images.shape[:2]
         key = jax.random.PRNGKey(cfg.seed)
 
@@ -185,8 +254,8 @@ class VGGSfMRunner:
             if masks is not None:
                 seg_mask = jnp.asarray(masks[qframe] > 0.5)
             qp, qp_valid = get_query_points(
-                images[0, qframe], sub, cfg.query_method,
-                cfg.max_query_pts, seg_invalid_mask=seg_mask)
+                images[0, qframe], sub, query_method,
+                max_query_pts, seg_invalid_mask=seg_mask)
 
             order = np.arange(S)
             order[0], order[qframe] = qframe, 0
@@ -230,7 +299,7 @@ class VGGSfMRunner:
                 jnp.concatenate(all_score, axis=2))
 
     def sparse_reconstruct(self, images, masks=None, image_names=None,
-                           output_dir=None):
+                           output_dir=None, crop_params=None):
         """Full sparse pipeline on (S, R, R, 3) images in [0, 1].
 
         Returns a predictions dict (cameras, points, masks, timings).
@@ -242,14 +311,26 @@ class VGGSfMRunner:
         B, S, H, W, _ = images.shape
         timings = {}
 
-        # 1. query frames
-        query_indices = self.select_query_frames(S)
-
-        # 2. camera init
+        # 1. query frames (DINO-similarity FPS by default)
         t0 = time.time()
-        pose_enc = self._camera_forward(images[:, :, ::3, ::3])[
-            "pred_pose_enc"]
-        extr0, intr0 = pose_encoding_to_extri_intri(pose_enc[0], (H, W))
+        query_indices = self.select_query_frames(images)
+        timings["query_rank"] = time.time() - t0
+
+        # 2. camera init — single resize to 336 inside the stage (the
+        # reference resizes once too, camera_predictor.py:241-303);
+        # ensembled over query orderings when avg_pose is on
+        t0 = time.time()
+        if cfg.avg_pose:
+            from vggsfm_tpu.utils.camera_avg import (
+                average_camera_prediction,
+            )
+
+            extr0, intr0 = average_camera_prediction(
+                lambda im: self._camera_forward(im)["pred_pose_enc"],
+                images, (H, W), query_indices=query_indices)
+        else:
+            pose_enc = self._camera_forward(images)["pred_pose_enc"]
+            extr0, intr0 = pose_encoding_to_extri_intri(pose_enc[0], (H, W))
         timings["camera_init"] = time.time() - t0
 
         # 3. feature maps
@@ -273,6 +354,10 @@ class VGGSfMRunner:
             max_ransac_iters=1024, lo_num=128)
         timings["preliminary"] = time.time() - t0
 
+        # 5b. choose the SfM camera initialization (neural vs two-view)
+        extr_init, intr_init = self._choose_camera_init(
+            extr0, intr0, pre, track, vis)
+
         # 6. SfM solve
         t0 = time.time()
         sfm_cfg = SfmConfig(
@@ -282,7 +367,7 @@ class VGGSfMRunner:
             ba_iters=cfg.ba_iters,
             shared_camera=cfg.shared_camera,
             camera_type=cfg.camera_type)
-        out = run_sfm(extr0, intr0, track[0], vis[0], (W, H),
+        out = run_sfm(extr_init, intr_init, track[0], vis[0], (W, H),
                       fmat_inlier_mask=pre["fmat_inlier_mask"][0],
                       score=score[0], cfg=sfm_cfg)
         timings["sfm"] = time.time() - t0
@@ -306,35 +391,77 @@ class VGGSfMRunner:
         }
         if output_dir is not None:
             self.save_reconstruction(predictions, (W, H), image_names,
-                                     output_dir)
+                                     output_dir, crop_params=crop_params)
         return predictions
+
+    def _choose_camera_init(self, extr_neural, intr_neural, pre, track,
+                            vis):
+        """Pick SfM initial cameras per `cfg.camera_init`.
+
+        'hybrid' scores the neural prediction against the two-view chained
+        poses by init-pair support and keeps the winner. The reference has
+        no such fallback — a bad camera prediction poisons its whole solve
+        (triangulator.py:126-160 trusts pred_cameras unconditionally).
+        """
+        cfg = self.cfg
+        if cfg.camera_init == "neural":
+            return extr_neural, intr_neural
+        S = track.shape[1]
+        extr_tv = pre["extrinsics"][0]
+        intr_tv = jnp.broadcast_to(pre["default_intri"], (S, 3, 3))
+        if cfg.camera_init == "twoview":
+            return extr_tv, intr_tv
+        if cfg.camera_init != "hybrid":
+            raise ValueError(f"unknown camera_init {cfg.camera_init}")
+        score_fn = self._stage("caminit_score", _score_camera_init)
+        fmask = pre["fmat_inlier_mask"][0]
+        s_neural = int(score_fn(extr_neural, intr_neural, track[0], vis[0],
+                                fmask))
+        s_tv = int(score_fn(extr_tv, intr_tv, track[0], vis[0], fmask))
+        if s_neural >= s_tv:
+            return extr_neural, intr_neural
+        return extr_tv, intr_tv
 
     def _comple_nonvis(self, images, fmaps, track, vis, score, masks):
         """Re-query frames with too few visible points, then escalate.
 
-        Parity: runner.py:1201-1282 — first a plain re-query from the two
-        least-visible frames; if frames still lack inliers, a second round
-        with the combined extractor set (the reference escalates to
-        'sp+sift+aliked').
+        Parity: runner.py:1201-1282 (`comple_nonvis_frames`): loop querying
+        from the first non-visible frame; when the same frame stays
+        non-visible, one final trial re-queries *all* remaining bad frames
+        with the combined extractor set at half the point budget, then
+        stops.
         """
         cfg = self.cfg
-        for round_idx in range(2):
-            vis_count = np.asarray(jnp.sum(vis[0] > 0.05, axis=-1))
-            bad = [int(i) for i in np.nonzero(
-                vis_count < cfg.min_vis_points)[0]]
-            if not bad:
-                break
-            method = cfg.query_method if round_idx == 0 else                 "sift+harris+grid"
-            orig = cfg.query_method
-            cfg.query_method = method
-            try:
-                t2, v2, s2 = self.predict_tracks(images, fmaps, bad[:2],
-                                                 masks)
-            finally:
-                cfg.query_method = orig
+
+        def bad_frames(v):
+            count = np.asarray(jnp.sum(v[0] > 0.05, axis=-1))
+            return [int(i) for i in np.nonzero(
+                count < cfg.min_vis_points)[0]]
+
+        bad = bad_frames(vis)
+        last_query = -1
+        final_trial = False
+        while bad:
+            if bad[0] == last_query:
+                final_trial = True
+                method = "sp+sift+aliked"
+                max_pts = cfg.max_query_pts // 2
+                query_list = bad
+            else:
+                method = cfg.query_method
+                max_pts = cfg.max_query_pts
+                query_list = [bad[0]]
+            last_query = bad[0]
+
+            t2, v2, s2 = self.predict_tracks(
+                images, fmaps, query_list, masks,
+                query_method=method, max_query_pts=max_pts)
             track = jnp.concatenate([track, t2], axis=2)
             vis = jnp.concatenate([vis, v2], axis=2)
             score = jnp.concatenate([score, s2], axis=2)
+            bad = bad_frames(vis)
+            if final_trial:
+                break
         return track, vis, score
 
     def triangulate_extra_points(self, images, fmaps, extrinsics,
@@ -373,8 +500,9 @@ class VGGSfMRunner:
                 "tracks": np.asarray(tr), "colors": np.asarray(rgb)}
 
     def save_reconstruction(self, predictions, image_size, image_names,
-                            output_dir):
-        """Write COLMAP sparse model. Parity: runner.py:887-911."""
+                            output_dir, crop_params=None):
+        """Write COLMAP sparse model, in original image coordinates when
+        crop_params are given. Parity: runner.py:887-911 + :1009-1052."""
         valid = predictions["valid_tracks"]
         obs = predictions["valid_2d_mask"] & valid[None]
         colors = predictions["colors"]
@@ -392,6 +520,15 @@ class VGGSfMRunner:
             colors=(None if colors is None
                     else np.clip(colors * 255, 0, 255).astype(np.uint8)),
         )
+        if crop_params is not None:
+            from vggsfm_tpu.io.bridge import (
+                rescale_reconstruction_to_original,
+            )
+
+            rec = rescale_reconstruction_to_original(
+                rec, crop_params, self.cfg.img_size,
+                image_names=image_names,
+                shared_camera=self.cfg.shared_camera)
         write_model(rec, os.path.join(output_dir, "sparse"), ext=".bin")
         return rec
 
@@ -402,4 +539,5 @@ class VGGSfMRunner:
         return self.sparse_reconstruct(
             data["images"], masks=data["masks"],
             image_names=data["image_names"],
-            output_dir=output_dir)
+            output_dir=output_dir,
+            crop_params=data["crop_params"])

@@ -44,6 +44,7 @@ class SfmConfig:
     ba_iters: int = 2
     shared_camera: bool = False
     camera_type: str = "SIMPLE_PINHOLE"
+    refine_focal: bool = True
     ba_max_iterations: int = 25
     max_ransac_iters: int = 256
     vis_thresh: float = 0.05
@@ -82,7 +83,7 @@ def find_best_initial_pair(inlier_geo_vis, cheirality_mask, tri_angles,
 def _ba_cfg(cfg: SfmConfig, max_iterations=None) -> BAConfig:
     return BAConfig(
         max_iterations=max_iterations or cfg.ba_max_iterations,
-        refine_focal=True,
+        refine_focal=cfg.refine_focal,
         refine_extra=cfg.camera_type != "SIMPLE_PINHOLE",
         shared_intrinsics=cfg.shared_camera,
     )
@@ -251,12 +252,21 @@ def run_sfm(extrinsics, intrinsics, tracks, vis, image_size,
         extrinsics, intrinsics, extra_params, tracks, points_pair,
         inlier_total, init_idx, image_size, cfgb)
 
-    # refine all poses against the init cloud
+    # refine all poses against the init cloud; force_estimate so frames
+    # whose initialization is off (wrong two-view translation scale, bad
+    # prediction) get PnP-registered against the cloud instead of LM-stuck.
+    # Registration uses every *visible* observation of an init-cloud point
+    # (not only epipolar inliers of the query pair — that gate starves
+    # frames far from the query; RANSAC + robust LM absorb the outliers).
     obs = jnp.concatenate(
-        [track_init_mask[None], inlier_geo_vis & track_init_mask[None]],
+        [track_init_mask[None],
+         (vis > cfg.vis_thresh)[1:] & track_init_mask[None]],
         axis=0)
     extr, intr, extra, _ = refine_poses(
-        extr, intr, pts_init, tracks, obs, image_size, extra_params=extra)
+        extr, intr, pts_init, tracks, obs, image_size, extra_params=extra,
+        force_estimate=True, pnp_key=jax.random.PRNGKey(99),
+        shared_intrinsics=cfg.shared_camera,
+        refine_intrinsics=cfg.refine_focal)
 
     pts, extr, intr, extra, valid_tracks, inlier_detail = triangulate_and_ba(
         extr, intr, extra, tracks, vis, score, image_size, cfgb, seed=1)
@@ -267,7 +277,9 @@ def run_sfm(extrinsics, intrinsics, tracks, vis, image_size,
         extr, intr, extra, _ = refine_poses(
             extr, intr, pts, tracks, obs, image_size, extra_params=extra,
             force_estimate=force,
-            pnp_key=jax.random.PRNGKey(100 + refine_idx))
+            pnp_key=jax.random.PRNGKey(100 + refine_idx),
+            shared_intrinsics=cfg.shared_camera,
+            refine_intrinsics=cfg.refine_focal)
         pts, extr, intr, extra, valid_tracks, inlier_detail = \
             triangulate_and_ba(extr, intr, extra, tracks, vis, score,
                                image_size, cfgb, seed=2 + refine_idx)
