@@ -23,8 +23,13 @@ def parse_args(argv):
     p.add_argument("--img-size", type=int, default=1024)
     p.add_argument("--query-frame-num", type=int, default=3)
     p.add_argument("--max-query-pts", type=int, default=4096)
-    p.add_argument("--query-method", default="sift")
+    p.add_argument("--query-method", default="aliked")
     p.add_argument("--no-fine-tracking", action="store_true")
+    p.add_argument("--dense-depth", action="store_true",
+                   help="write aligned monocular depth maps to "
+                        "OUT/depths/*.bin (COLMAP array format)")
+    p.add_argument("--depth-checkpoint", default=None,
+                   help="DepthAnythingV2 torch checkpoint (optional)")
     p.add_argument("--camera-type", default="SIMPLE_PINHOLE",
                    choices=["SIMPLE_PINHOLE", "SIMPLE_RADIAL"])
     p.add_argument("--shared-camera", action="store_true")
@@ -54,6 +59,8 @@ def main(argv=None):
         camera_type=args.camera_type,
         shared_camera=args.shared_camera,
         checkpoint=args.checkpoint,
+        dense_depth=args.dense_depth,
+        depth_checkpoint=args.depth_checkpoint,
         seed=args.seed,
     )
     if args.config:

@@ -139,3 +139,114 @@ class TestDinoAttn:
         ours = DinoAttention(dim, heads)
         got = ours.apply(params, jnp.asarray(to_np(x)))
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+class TestDPTHeadConversion:
+    """DepthAnythingV2 DPT head: torch replica (public key layout) ->
+    convert_dpt_head -> our DPTHead reproduces torch outputs."""
+
+    def _torch_head(self, in_ch, f, out_channels):
+        import torch.nn as tnn
+
+        class RCU(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.conv1 = tnn.Conv2d(f, f, 3, padding=1)
+                s.conv2 = tnn.Conv2d(f, f, 3, padding=1)
+
+            def forward(s, x):
+                y = torch.relu(x)
+                y = s.conv1(y)
+                y = torch.relu(y)
+                return x + s.conv2(y)
+
+        class Fusion(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.resConfUnit1 = RCU()
+                s.resConfUnit2 = RCU()
+                s.out_conv = tnn.Conv2d(f, f, 1)
+
+            def forward(s, x, skip=None, size=None):
+                if skip is not None:
+                    x = x + s.resConfUnit1(skip)
+                x = s.resConfUnit2(x)
+                kw = ({"scale_factor": 2} if size is None
+                      else {"size": size})
+                x = torch.nn.functional.interpolate(
+                    x, **kw, mode="bilinear", align_corners=True)
+                return s.out_conv(x)
+
+        class Scratch(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                for i, oc in enumerate(out_channels):
+                    setattr(s, f"layer{i + 1}_rn",
+                            tnn.Conv2d(oc, f, 3, padding=1, bias=False))
+                for i in range(1, 5):
+                    setattr(s, f"refinenet{i}", Fusion())
+                s.output_conv1 = tnn.Conv2d(f, f // 2, 3, padding=1)
+                s.output_conv2 = tnn.Sequential(
+                    tnn.Conv2d(f // 2, 32, 3, padding=1), tnn.ReLU(),
+                    tnn.Conv2d(32, 1, 1), tnn.ReLU(), tnn.Identity())
+
+        class Head(tnn.Module):
+            def __init__(s):
+                super().__init__()
+                s.projects = tnn.ModuleList(
+                    [tnn.Conv2d(in_ch, oc, 1) for oc in out_channels])
+                s.resize_layers = tnn.ModuleList([
+                    tnn.ConvTranspose2d(out_channels[0], out_channels[0],
+                                        4, stride=4),
+                    tnn.ConvTranspose2d(out_channels[1], out_channels[1],
+                                        2, stride=2),
+                    tnn.Identity(),
+                    tnn.Conv2d(out_channels[3], out_channels[3], 3,
+                               stride=2, padding=1)])
+                s.scratch = Scratch()
+
+            def forward(s, taps, gh, gw, out_hw):
+                feats = []
+                for i, t in enumerate(taps):
+                    x = t.permute(0, 2, 1).reshape(
+                        t.shape[0], -1, gh, gw)
+                    x = s.projects[i](x)
+                    x = s.resize_layers[i](x)
+                    feats.append(
+                        getattr(s.scratch, f"layer{i + 1}_rn")(x))
+                p4 = s.scratch.refinenet4(feats[3],
+                                          size=feats[2].shape[2:])
+                p3 = s.scratch.refinenet3(p4, feats[2],
+                                          size=feats[1].shape[2:])
+                p2 = s.scratch.refinenet2(p3, feats[1],
+                                          size=feats[0].shape[2:])
+                p1 = s.scratch.refinenet1(p2, feats[0])
+                out = s.scratch.output_conv1(p1)
+                out = torch.nn.functional.interpolate(
+                    out, size=out_hw, mode="bilinear",
+                    align_corners=True)
+                return s.scratch.output_conv2(out)
+
+        return Head()
+
+    def test_head_matches_torch(self, rng):
+        from vggsfm_tpu.models.convert import convert_dpt_head
+        from vggsfm_tpu.models.dpt import DPTHead
+
+        torch.manual_seed(3)
+        in_ch, f = 24, 16
+        out_channels = (8, 12, 16, 16)
+        gh, gw = 4, 6
+        t_head = self._torch_head(in_ch, f, out_channels)
+        taps = [torch.randn(2, gh * gw, in_ch) for _ in range(4)]
+        with torch.no_grad():
+            want = t_head(taps, gh, gw, (gh * 14, gw * 14))
+        want = to_np(want)[:, 0]
+
+        sd = {f"depth_head.{k}": v
+              for k, v in t_head.state_dict().items()}
+        params = {"params": convert_dpt_head(sd)}
+        ours = DPTHead(features=f, out_channels=out_channels)
+        got = ours.apply(params, [jnp.asarray(to_np(t)) for t in taps],
+                         (gh, gw), (gh * 14, gw * 14))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)

@@ -82,3 +82,78 @@ class TestColmapArray:
         write_colmap_array(p, arr)
         back = read_colmap_array(p)
         np.testing.assert_allclose(back, arr)
+
+
+class TestAlignDepthMaps:
+    def test_planted_disparity_recovers_depth(self, rng):
+        """Frames with exact disparity = (1/depth - b)/a must come back
+        as metric depth after align_depth_maps_to_sfm."""
+        from vggsfm_tpu.utils.depth import align_depth_maps_to_sfm
+
+        S, H, W, N = 2, 24, 32, 200
+        a_gt, b_gt = np.float32(0.8), np.float32(0.02)
+        # smooth planted depth field
+        gy, gx = np.mgrid[0:H, 0:W].astype(np.float32)
+        depth_field = 2.0 + 0.03 * gx + 0.05 * gy
+        disp = ((1.0 / depth_field) - b_gt) / a_gt
+        disparity = np.broadcast_to(disp, (S, H, W)).copy()
+
+        # identity cameras; 3D points whose camera depth equals the field
+        xs = rng.uniform(1, W - 2, N).astype(np.float32)
+        ys = rng.uniform(1, H - 2, N).astype(np.float32)
+        z = 2.0 + 0.03 * xs + 0.05 * ys
+        f, cx, cy = 30.0, W / 2, H / 2
+        X = np.stack([(xs - cx) / f * z, (ys - cy) / f * z, z], axis=-1)
+        extr = np.broadcast_to(
+            np.eye(3, 4, dtype=np.float32), (S, 3, 4)).copy()
+        tracks = np.broadcast_to(np.stack([xs, ys], -1), (S, N, 2)).copy()
+        obs = np.ones((S, N), bool)
+
+        dmaps, a, b, inl = align_depth_maps_to_sfm(
+            jnp.asarray(disparity), jnp.asarray(extr), jnp.asarray(X),
+            jnp.asarray(tracks), jnp.asarray(obs), jax.random.PRNGKey(0))
+        assert np.asarray(inl).min() > 0.9
+        np.testing.assert_allclose(np.asarray(a), a_gt, rtol=0.05)
+        np.testing.assert_allclose(
+            np.asarray(dmaps)[0, 2:-2, 2:-2],
+            depth_field[2:-2, 2:-2], rtol=0.08)
+
+
+class TestRunnerDenseDepth:
+    def test_dense_stage_and_export(self, tmp_path, rng):
+        """dense_reconstruct + save_dense_depth_maps: shapes, files, and
+        original-resolution resampling (random DPT weights)."""
+        from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+        from vggsfm_tpu.utils.depth import read_colmap_array
+
+        S, R = 2, 64
+        cfg = RunnerConfig(img_size=R, depth_input_size=140,
+                           dense_depth=True, precision="f32")
+        runner = VGGSfMRunner(cfg)
+        images = jnp.asarray(
+            rng.uniform(size=(1, S, R, R, 3)).astype(np.float32))
+        N = 50
+        predictions = {
+            "extrinsics": np.broadcast_to(
+                np.eye(3, 4, dtype=np.float32), (S, 3, 4)).copy(),
+            "points3d": rng.normal(size=(N, 3)).astype(np.float32) + 4,
+            "pred_track": rng.uniform(
+                2, R - 2, size=(1, S, N, 2)).astype(np.float32),
+            "valid_2d_mask": np.ones((S, N), bool),
+            "valid_tracks": np.ones(N, bool),
+        }
+        runner.dense_reconstruct(images, predictions)
+        assert predictions["depth_maps"].shape == (S, R, R)
+        assert predictions["depth_align_coeffs"].shape == (S, 2)
+
+        # export at "original" 48x36 resolution through crop_params
+        from vggsfm_tpu.datasets.demo_loader import pad_and_resize_image
+        raw = (rng.uniform(size=(36, 48, 3)) * 255).astype(np.uint8)
+        _, _, par = pad_and_resize_image(raw, R)
+        crop_params = np.stack([par] * S)
+        runner.save_dense_depth_maps(
+            predictions["depth_maps"], ["a.png", "b.png"], str(tmp_path),
+            crop_params=crop_params)
+        d = read_colmap_array(str(tmp_path / "depths" / "a.bin"))
+        assert d.shape == (36, 48)
+        assert np.isfinite(d).all()

@@ -153,9 +153,17 @@ def convert_tracker(sd, prefix="track_predictor"):
 
 
 def convert_dinov2(sd, prefix="backbone", depth=12):
+    # DINOv2 without registers (DepthAnythingV2's encoder) has no
+    # register_tokens tensor; our module then runs num_register_tokens=0
+    # with an empty (1, 0, C) parameter
+    if f"{prefix}.register_tokens" in sd:
+        regs = _arr(sd[f"{prefix}.register_tokens"])
+    else:
+        dim = _arr(sd[f"{prefix}.cls_token"]).shape[-1]
+        regs = np.zeros((1, 0, dim), np.float32)
     out = {
         "cls_token": _arr(sd[f"{prefix}.cls_token"]),
-        "register_tokens": _arr(sd[f"{prefix}.register_tokens"]),
+        "register_tokens": regs,
         "pos_embed": _arr(sd[f"{prefix}.pos_embed"]),
         "patch_embed": _conv(sd, f"{prefix}.patch_embed.proj"),
         "norm": {"scale": _arr(sd[f"{prefix}.norm.weight"]),
@@ -193,6 +201,74 @@ def convert_camera_predictor(sd, prefix="camera_predictor", att_depth=8,
     for i in range(trunk_depth):
         out[f"trunk_{i}"] = _attn_block(sd, f"{prefix}.trunk.{i}")
     return out
+
+
+def _t_deconv(w):
+    """torch ConvTranspose2d (in, out, kH, kW) -> flax (kH, kW, in, out).
+
+    flax.linen.ConvTranspose (lax.conv_transpose, transpose_kernel=False)
+    convolves the dilated input with the kernel in *convolution*
+    orientation, i.e. spatially flipped relative to torch's scatter
+    semantics — so the spatial taps are reversed here (validated against
+    torch in tests/test_convert.py).
+    """
+    return np.ascontiguousarray(
+        np.transpose(_arr(w), (2, 3, 0, 1))[::-1, ::-1])
+
+
+def _deconv(sd, prefix):
+    return {"kernel": _t_deconv(sd[f"{prefix}.weight"]),
+            "bias": _arr(sd[f"{prefix}.bias"])}
+
+
+def _rcu(sd, prefix):
+    return {"conv1": _conv(sd, f"{prefix}.conv1"),
+            "conv2": _conv(sd, f"{prefix}.conv2")}
+
+
+def convert_dpt_head(sd, prefix="depth_head"):
+    """DepthAnythingV2 DPTHead state_dict -> our DPTHead params.
+
+    Key layout (public DepthAnythingV2 repo, use_clstoken=False):
+    projects.{i} 1x1 convs, resize_layers.{0,1} ConvTranspose2d /
+    {3} stride-2 Conv2d, scratch.layer{1-4}_rn bias-free 3x3,
+    scratch.refinenet{1-4}.{resConfUnit1,resConfUnit2,out_conv},
+    scratch.output_conv1 and output_conv2.{0,2}.
+    """
+    out = {}
+    for i in range(4):
+        out[f"project_{i}"] = _conv(sd, f"{prefix}.projects.{i}")
+        out[f"layer_rn_{i}"] = {
+            "kernel": _t_conv(sd[f"{prefix}.scratch.layer{i + 1}_rn.weight"])}
+    out["resize_0"] = _deconv(sd, f"{prefix}.resize_layers.0")
+    out["resize_1"] = _deconv(sd, f"{prefix}.resize_layers.1")
+    out["resize_3"] = _conv(sd, f"{prefix}.resize_layers.3")
+    # refinenet4 fuses the coarsest level (our fusion_3) ... refinenet1 the
+    # finest (fusion_0); refinenet4's resConfUnit1 exists in the
+    # checkpoint but is architecturally unused (single-input fusion)
+    for i, rn in ((3, 1), (2, 2), (1, 3), (0, 4)):
+        p = f"{prefix}.scratch.refinenet{rn}"
+        blk = {"rcu2": _rcu(sd, f"{p}.resConfUnit2"),
+               "project": _conv(sd, f"{p}.out_conv")}
+        if i != 3:
+            blk["rcu1"] = _rcu(sd, f"{p}.resConfUnit1")
+        out[f"fusion_{i}"] = blk
+    out["head_conv1"] = _conv(sd, f"{prefix}.scratch.output_conv1")
+    out["head_conv2"] = _conv(sd, f"{prefix}.scratch.output_conv2.0")
+    out["head_conv3"] = _conv(sd, f"{prefix}.scratch.output_conv2.2")
+    return out
+
+
+def convert_depth_anything(state_dict) -> dict:
+    """DepthAnythingV2 checkpoint (depth_anything_v2_vit{s,b,l}.pth,
+    reference runner.py:147-160) -> DepthAnything Flax params."""
+    sd = {k: _arr(v) for k, v in state_dict.items()}
+    depth = 1 + max(int(k.split(".")[2]) for k in sd
+                    if k.startswith("pretrained.blocks."))
+    return {"params": {
+        "backbone": convert_dinov2(sd, "pretrained", depth=depth),
+        "head": convert_dpt_head(sd, "depth_head"),
+    }}
 
 
 def convert_vggsfm_checkpoint(state_dict) -> dict:

@@ -80,8 +80,9 @@ class DinoVisionTransformer(nn.Module):
         """(B, H, W, 3), resnet-normalized -> (B, (H/14)*(W/14), C).
 
         With `return_layers` (static block indices) also returns those
-        blocks' patch tokens (pre-final-norm) — the DPT depth head taps
-        intermediate layers this way."""
+        blocks' patch tokens with the final LayerNorm applied — DINOv2's
+        `get_intermediate_layers(norm=True)` semantics, which is what the
+        DepthAnythingV2 DPT head consumes."""
         B, H, W, _ = images.shape
         gh, gw = H // self.patch_size, W // self.patch_size
 
@@ -117,14 +118,14 @@ class DinoVisionTransformer(nn.Module):
                                  self.embed_dim))
         x = jnp.concatenate([cls, regs, x], axis=1)
 
+        norm = nn.LayerNorm(epsilon=1e-6, name="norm", dtype=self.dtype)
         taps = []
         for i in range(self.depth):
             x = DinoBlock(self.embed_dim, self.num_heads,
                           name=f"blocks_{i}", dtype=self.dtype)(x)
             if i in return_layers:
-                taps.append(x[:, 1 + self.num_register_tokens:])
-        x = nn.LayerNorm(epsilon=1e-6, name="norm", dtype=self.dtype)(x)
-        out = x[:, 1 + self.num_register_tokens:]
+                taps.append(norm(x)[:, 1 + self.num_register_tokens:])
+        out = norm(x)[:, 1 + self.num_register_tokens:]
         if return_layers:
             return out, taps
         return out

@@ -92,6 +92,15 @@ class RunnerConfig:
     # preliminary estimator), or 'hybrid' (score both by init-pair support
     # and pick the winner — robust to a failed neural prediction)
     camera_init: str = "hybrid"
+    # dense monocular depth maps aligned to the sparse reconstruction
+    # (reference dense_depth flag, runners/runner.py:133-162, 776-860)
+    dense_depth: bool = False
+    # DepthAnythingV2 checkpoint (depth_anything_v2_vit*.pth); random
+    # ViT-B weights otherwise (machinery-complete, zero-egress env)
+    depth_checkpoint: str | None = None
+    # DPT inference resolution (the reference's infer_image resizes to
+    # 518 on the long side, DepthAnythingV2 dpt.py input_size default)
+    depth_input_size: int = 518
     # 'bf16' runs the neural path in bfloat16 (parity with the reference's
     # fp16 autocast default, cfgs/demo.yaml:16); geometry stays f32
     precision: str = "bf16"
@@ -113,6 +122,7 @@ class VGGSfMRunner:
         self._params = None
         self._weights_loaded = False
         self._jit_cache = {}
+        self._depth = None  # (module, params), built lazily
 
     # ------------------------------------------------------------------
     # parameters
@@ -202,6 +212,118 @@ class VGGSfMRunner:
         fn = self._stage("camera", lambda p, im: self.camera.apply(
             p, im, iters=4))
         return fn(self.params["camera"], images)
+
+    def _load_depth_model(self):
+        """Lazily build DepthAnything + params (converted checkpoint when
+        available; random ViT-B otherwise). Parity: runner.py:133-162."""
+        if self._depth is not None:
+            return self._depth
+        from vggsfm_tpu.models.dpt import DepthAnything
+
+        dtype = (jnp.bfloat16 if self.cfg.precision == "bf16"
+                 else jnp.float32)
+        ckpt = self.cfg.depth_checkpoint
+        if ckpt and os.path.exists(ckpt):
+            import torch
+
+            from vggsfm_tpu.models.convert import convert_depth_anything
+
+            sd = torch.load(ckpt, map_location="cpu")
+            params = convert_depth_anything(sd)
+            depth = 1 + max(int(k.split(".")[2]) for k in sd
+                            if k.startswith("pretrained.blocks."))
+            model = (DepthAnything.vitl(dtype=dtype) if depth == 24
+                     else DepthAnything(dtype=dtype))
+            params = jax.tree.map(jnp.asarray, params)
+        else:
+            model = DepthAnything(dtype=dtype)
+            r = self.cfg.depth_input_size
+            params = jax.jit(model.init)(
+                jax.random.PRNGKey(self.cfg.seed),
+                jnp.zeros((1, min(r, 140), min(r, 140), 3), jnp.float32))
+        self._depth = (model, params)
+        return self._depth
+
+    def _disparity(self, images):
+        """(1, S, H, W, 3) -> (S, H, W) relative disparity, one frame per
+        device step (DPT at `depth_input_size`, upsampled back)."""
+        from vggsfm_tpu.models.sampling import interpolate_bilinear
+
+        model, params = self._load_depth_model()
+        r = self.cfg.depth_input_size
+        H, W = images.shape[2:4]
+
+        def fn(p, im):
+            x = interpolate_bilinear(im, (r, r))
+            d = model.apply(p, x)
+            return interpolate_bilinear(d[..., None], (H, W))[..., 0]
+
+        step = self._stage("dpt", fn)
+        # lax.map via per-frame host loop: keeps peak memory at one ViT
+        # forward; frames are independent
+        return jnp.concatenate(
+            [step(params, images[0, s:s + 1])
+             for s in range(images.shape[1])], axis=0)
+
+    def dense_reconstruct(self, images, predictions):
+        """Monocular disparity per frame, aligned to the sparse SfM depths.
+
+        Adds ``depth_maps`` (S, H, W), per-frame alignment coefficients,
+        and inlier fractions to `predictions`. Parity: runner.py:776-814
+        (`dense_reconstruct`) with the sklearn RANSAC replaced by the
+        in-graph fit (utils/depth.py).
+        """
+        from vggsfm_tpu.utils.depth import align_depth_maps_to_sfm
+
+        disp = self._disparity(images)
+        align = self._stage("depth_align", align_depth_maps_to_sfm)
+        obs = (jnp.asarray(predictions["valid_2d_mask"])
+               & jnp.asarray(predictions["valid_tracks"])[None])
+        depth_maps, a, b, inl = align(
+            disp, jnp.asarray(predictions["extrinsics"]),
+            jnp.asarray(predictions["points3d"]),
+            jnp.asarray(predictions["pred_track"])[0], obs,
+            jax.random.PRNGKey(self.cfg.seed + 7))
+        predictions["depth_maps"] = np.asarray(depth_maps)
+        predictions["depth_align_coeffs"] = np.stack(
+            [np.asarray(a), np.asarray(b)], axis=-1)
+        predictions["depth_inlier_frac"] = np.asarray(inl)
+        return predictions
+
+    def save_dense_depth_maps(self, depth_maps, image_names, output_dir,
+                              crop_params=None):
+        """Write COLMAP-format depth maps under ``output_dir/depths``,
+        resampled to original image resolution when crop_params are given.
+        Parity: runner.py:816-833."""
+        from vggsfm_tpu.models.sampling import bilinear_sample
+        from vggsfm_tpu.utils.depth import write_colmap_array
+
+        depth_dir = os.path.join(output_dir, "depths")
+        os.makedirs(depth_dir, exist_ok=True)
+        S = depth_maps.shape[0]
+        names = image_names or [f"image_{s:06d}" for s in range(S)]
+        img_size = self.cfg.img_size
+        for s in range(S):
+            dmap = np.asarray(depth_maps[s], np.float32)
+            if crop_params is not None:
+                # inverse of the export rescale: original pixel (x, y)
+                # lives at (x / ratio + left, y / ratio + top) in the
+                # resized square the depth map covers
+                real_w, real_h = (int(crop_params[s][0]),
+                                  int(crop_params[s][1]))
+                ratio = max(real_w, real_h) / float(img_size)
+                top_left = np.abs(np.asarray(crop_params[s][4:6],
+                                             np.float64))
+                gx, gy = np.meshgrid(np.arange(real_w), np.arange(real_h))
+                coords = jnp.asarray(np.stack(
+                    [gx / ratio + top_left[0], gy / ratio + top_left[1]],
+                    axis=-1)[None], jnp.float32)
+                dmap = np.asarray(bilinear_sample(
+                    jnp.asarray(dmap)[None, ..., None], coords,
+                    padding_mode="border")[0, ..., 0])
+            stem = os.path.splitext(os.path.basename(names[s]))[0]
+            write_colmap_array(
+                os.path.join(depth_dir, stem + ".bin"), dmap)
 
     def _frame_descriptors(self, images):
         fn = self._stage("dino_desc", lambda p, im: self.camera.apply(
@@ -389,9 +511,18 @@ class VGGSfMRunner:
             "timings": timings,
             "total_time": time.time() - t_start,
         }
+        if cfg.dense_depth:
+            t0 = time.time()
+            self.dense_reconstruct(images, predictions)
+            timings["dense_depth"] = time.time() - t0
+            predictions["total_time"] = time.time() - t_start
         if output_dir is not None:
             self.save_reconstruction(predictions, (W, H), image_names,
                                      output_dir, crop_params=crop_params)
+            if cfg.dense_depth:
+                self.save_dense_depth_maps(
+                    predictions["depth_maps"], image_names, output_dir,
+                    crop_params=crop_params)
         return predictions
 
     def _choose_camera_init(self, extr_neural, intr_neural, pre, track,

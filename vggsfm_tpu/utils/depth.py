@@ -59,6 +59,45 @@ def align_disparity_to_depth(disparity: jax.Array, sparse_depth: jax.Array,
     return a_fit, b_fit, mask
 
 
+def align_depth_maps_to_sfm(disparity, extrinsics, points3d, tracks,
+                            obs_mask, key):
+    """Per-frame disparity -> metric depth maps, aligned to SfM points.
+
+    The in-graph, whole-batch form of the reference's per-image loop
+    (utils/utils.py:603-770 `align_dense_depth_maps`): for every frame,
+    sample the monocular disparity at the 2D observations of valid 3D
+    points, robust-fit 1/depth = a * disp + b against the SfM depths, and
+    apply the fit to the full map.
+
+    Args:
+      disparity: (S, H, W) relative disparity maps.
+      extrinsics: (S, 3, 4) world-to-camera.
+      points3d: (N, 3).
+      tracks: (S, N, 2) pixel observations.
+      obs_mask: (S, N) valid observations of valid tracks.
+
+    Returns (depth_maps (S, H, W), a (S,), b (S,), inlier_frac (S,)).
+    """
+    from vggsfm_tpu.models.sampling import bilinear_sample
+
+    S = disparity.shape[0]
+    cam_pts = jnp.einsum("sij,nj->sni", extrinsics[:, :, :3],
+                         points3d) + extrinsics[:, None, :, 3]
+    sfm_depth = cam_pts[..., 2]  # (S, N)
+    valid = obs_mask & (sfm_depth > 1e-4)
+
+    disp_sparse = bilinear_sample(disparity[..., None], tracks,
+                                  padding_mode="border")[..., 0]
+
+    def one(d_sparse, z, v, k, dmap):
+        a, b, mask = align_disparity_to_depth(d_sparse, z, v, k)
+        return (disparity_to_depth_map(dmap, a, b), a, b,
+                jnp.sum(mask) / jnp.maximum(jnp.sum(v), 1))
+
+    keys = jax.random.split(key, S)
+    return jax.vmap(one)(disp_sparse, sfm_depth, valid, keys, disparity)
+
+
 def disparity_to_depth_map(disparity_map: jax.Array, a, b):
     """Apply the fitted transform: depth = 1 / max(a * disp + b, eps)."""
     return 1.0 / jnp.maximum(a * disparity_map + b, 1e-6)
