@@ -86,6 +86,34 @@ class TestCorr:
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+class TestCorrSmallMapPath:
+    def test_small_map_matches_gather_path(self, rng):
+        """The dot-then-slice small-map branch (H*W <= 1156) must agree
+        with the gather branch bit-for-bit in f32, including fractional
+        coords and out-of-bounds windows (zero padding semantics)."""
+        B, S, N, C = 1, 2, 7, 8
+        H = W = 30  # 900 cells -> small path
+        fm_small = rng.normal(size=(B, S, H, W, C)).astype(np.float32)
+        # embed the same map in a 40x40 (1600 cells -> gather path) canvas
+        fm_big = np.zeros((B, S, 40, 40, C), np.float32)
+        fm_big[:, :, :H, :W] = fm_small
+        tf = rng.normal(size=(B, S, N, C)).astype(np.float32)
+        coords = np.array([
+            [3.25, 4.75], [0.0, 0.0], [28.9, 28.1], [-0.4, 5.0],
+            [5.0, -3.0], [29.0, 0.5], [-10.0, -10.0],
+        ], np.float32)[None, None].repeat(S, 1)
+
+        small = corr_sample([jnp.asarray(fm_small)], jnp.asarray(coords),
+                            jnp.asarray(tf), radius=2)
+        big = corr_sample([jnp.asarray(fm_big)], jnp.asarray(coords),
+                          jnp.asarray(tf), radius=2)
+        # windows whose taps stay inside [0, 30) see identical data; taps
+        # beyond are zeros in the small map and zeros (pad region) in the
+        # big map, so everything matches everywhere
+        np.testing.assert_allclose(np.asarray(small), np.asarray(big),
+                                   atol=1e-5)
+
+
 class TestEncoders:
     def test_basic_encoder_shapes(self, rng):
         enc = BasicEncoder(output_dim=128, stride=4)

