@@ -70,16 +70,23 @@ class TestMatchingInit:
 class TestEndToEndSynth:
     def test_reconstruct_two_plane_scene(self):
         """Full pipeline (random weights + matching init) must recover the
-        planted cameras on a true-parallax scene."""
+        planted cameras on a true-parallax scene.
+
+        The config mirrors the bench regime (R=512): the weights-free
+        correlation front-end needs the fmap cell count to comfortably
+        exceed the query count (at R=256 a 32x32-cell map with 512
+        queries mismatches too often — ROADMAP "weights-free front-end"
+        note; the trained-weight path has no such floor).
+        """
         from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
 
-        S, R = 4, 256
-        scene = render_two_plane_scene(num_frames=S, image_size=R,
-                                       baseline=0.15)
+        S, R = 6, 512
+        scene = render_two_plane_scene(num_frames=S, image_size=R)
         cfg = RunnerConfig(img_size=R, query_frame_num=1,
-                           max_query_pts=512, query_method="sift+harris",
+                           max_query_pts=1024, query_method="sift+harris",
                            fine_tracking=True, comple_nonvis=False,
-                           robust_refine=1, ba_iters=1, shared_camera=True)
+                           robust_refine=2, ba_iters=2,
+                           precision="f32")
         runner = VGGSfMRunner(cfg)
         out = runner.sparse_reconstruct(scene["images"])
 

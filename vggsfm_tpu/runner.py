@@ -64,8 +64,8 @@ class RunnerConfig:
     max_points_num: int = 163840  # track-frames per coarse tracker call
     # fine tracking holds (psize^2 x C) patch features per track-frame —
     # budgeted separately for 16 GB HBM (the reference reuses one constant
-    # sized for 32-40 GB GPUs, runner.py:1079)
-    max_fine_points_num: int = 8192
+    # sized for 32-40 GB GPUs, runner.py:1079); ~1.5 GB peak per chunk
+    max_fine_points_num: int = 16384
     comple_nonvis: bool = True
     min_vis_points: int = 500
     # ensemble camera predictions over the query orderings (reference
@@ -101,6 +101,9 @@ class RunnerConfig:
     # DPT inference resolution (the reference's infer_image resizes to
     # 518 on the long side, DepthAnythingV2 dpt.py input_size default)
     depth_input_size: int = 518
+    # interactive 3D scene export: OUT/scene.glb with the point cloud +
+    # camera frusta (reference gradio/GLB path, utils/gradio.py:50-233)
+    make_glb: bool = False
     # 'bf16' runs the neural path in bfloat16 (parity with the reference's
     # fp16 autocast default, cfgs/demo.yaml:16); geometry stays f32
     precision: str = "bf16"
@@ -473,6 +476,7 @@ class VGGSfMRunner:
         t0 = time.time()
         pre = estimate_preliminary_cameras(
             track, vis, W, H, jax.random.PRNGKey(cfg.seed + 1),
+            tracks_score=score if cfg.fine_tracking else None,
             max_ransac_iters=1024, lo_num=128)
         timings["preliminary"] = time.time() - t0
 
@@ -523,6 +527,12 @@ class VGGSfMRunner:
                 self.save_dense_depth_maps(
                     predictions["depth_maps"], image_names, output_dir,
                     crop_params=crop_params)
+            if cfg.make_glb:
+                from vggsfm_tpu.io.glb import reconstruction_to_glb
+
+                reconstruction_to_glb(
+                    predictions, os.path.join(output_dir, "scene.glb"),
+                    image_size=(W, H))
         return predictions
 
     def _choose_camera_init(self, extr_neural, intr_neural, pre, track,

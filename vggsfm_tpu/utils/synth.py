@@ -18,12 +18,21 @@ import numpy as np
 
 
 def _value_noise(rng: np.random.Generator, size: int,
-                 octaves: int = 5) -> np.ndarray:
-    """Multi-octave value noise in [0, 1], (size, size, 3)."""
+                 octaves: int = 7) -> np.ndarray:
+    """Multi-octave value noise in [0, 1], (size, size, 3).
+
+    Spectrum shaping matters twice over: blob/corner detectors need
+    energy at fine scales (2-4 px) or the keypoint yield collapses, while
+    correlation matching on stride-8 feature maps needs the *dominant*
+    energy at coarse scales (a flat spectrum turns the texture into
+    self-similar speckle that aliases away at the fmap resolution and
+    mismatches everywhere). A 1/f rolloff down to 1-2 px cells serves
+    both: photographs have the same spectrum.
+    """
     img = np.zeros((size, size, 3), np.float32)
     amp_total = 0.0
     for o in range(octaves):
-        cells = max(2, size // (2 ** (octaves - o + 1)))
+        cells = min(size, max(2, size // (2 ** (octaves - o))))
         amp = 1.0 / (o + 1)
         coarse = rng.uniform(size=(cells, cells, 3)).astype(np.float32)
         # bilinear upsample to full size
@@ -43,7 +52,33 @@ def _value_noise(rng: np.random.Generator, size: int,
         amp_total += amp
     img /= amp_total
     # stretch contrast so detectors find strong structure
-    img = np.clip((img - 0.5) * 1.6 + 0.5, 0.0, 1.0)
+    img = np.clip((img - 0.5) * 2.2 + 0.5, 0.0, 1.0)
+
+    # scatter distinctive high-contrast shapes ("confetti"): pure value
+    # noise is maximally self-similar — wrong correspondences still
+    # correlate strongly, which no real photograph exhibits. Random
+    # ellipses/rectangles give the texture unique, trackable landmarks
+    # with photographic local-distinctiveness.
+    n_shapes = max(24, (size * size) // 1500)
+    smax = max(6, min(48, size // 6))
+    for _ in range(n_shapes):
+        w = int(rng.uniform(3, smax))
+        h = int(rng.uniform(3, smax))
+        x0 = int(rng.integers(0, size - w))
+        y0 = int(rng.integers(0, size - h))
+        color = rng.uniform(0.0, 1.0, 3).astype(np.float32)
+        yy, xx = np.mgrid[0:h, 0:w]
+        if rng.uniform() < 0.5:
+            mask = ((xx - w / 2) ** 2 / (w / 2) ** 2
+                    + (yy - h / 2) ** 2 / (h / 2) ** 2) <= 1.0
+        else:
+            mask = np.ones((h, w), bool)
+        # moderate blend: the shape is a distinctive landmark but the
+        # fine-scale noise stays visible inside it (a flat interior would
+        # starve NCC/feature matching of local texture)
+        alpha = float(rng.uniform(0.25, 0.5))
+        region = img[y0:y0 + h, x0:x0 + w]
+        region[mask] = (1 - alpha) * region[mask] + alpha * color
     return img
 
 
