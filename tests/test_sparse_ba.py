@@ -112,3 +112,29 @@ class TestSparseBA:
             float(out[4]["initial_cost"])
         np.testing.assert_allclose(np.asarray(out[0][1:, :, 3]),
                                    extr[1:, :, 3], atol=2e-2)
+
+    def test_shared_intrinsics_tying(self, rng):
+        """With shared_intrinsics the focal step is one variable: every
+        frame's recovered focal is identical, and a per-frame focal
+        perturbation is still corrected toward the true shared value."""
+        extr, intr, X, tracks, mask = make_bundle(rng, S=5, N=200,
+                                                  noise_px=0.2)
+        f_true = intr[0, 0, 0]
+        intr_n = intr.copy()
+        # mis-scale focals per frame — only a shared-focal solver is
+        # allowed to move them in lockstep
+        intr_n[:, 0, 0] = intr_n[:, 1, 1] = f_true * 1.05
+        X_n = X + rng.normal(scale=0.03, size=X.shape)
+
+        fr, pt, xy, w = dense_to_obs(tracks, mask)
+        cfg = SparseBAConfig(max_iterations=12, refine_focal=True,
+                             shared_intrinsics=True, cg_iters=60)
+        out = bundle_adjust_sparse(
+            jnp.asarray(extr), jnp.asarray(intr_n), jnp.asarray(X_n),
+            jnp.asarray(fr), jnp.asarray(pt), jnp.asarray(xy),
+            jnp.asarray(w), cfg=cfg)
+        f_out = np.asarray(out[1][:, 0, 0])
+        np.testing.assert_allclose(f_out, f_out[0], rtol=1e-6)
+        assert abs(f_out[0] - f_true) < 0.02 * f_true
+        assert float(out[4]["final_cost"]) < 0.5 * \
+            float(out[4]["initial_cost"])

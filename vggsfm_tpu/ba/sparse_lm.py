@@ -49,7 +49,8 @@ def _spd_inverse_small(M: jax.Array, eps: float) -> jax.Array:
     return jnp.einsum("...ij,...j,...kj->...ik", V, w_inv, V)
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_frames", "num_points"))
+@partial(jax.jit, static_argnames=("cfg", "num_frames", "num_points",
+                                   "axis_name"))
 @f32_matmuls
 def bundle_adjust_sparse(
     extrinsics: jax.Array,
@@ -66,6 +67,7 @@ def bundle_adjust_sparse(
     cfg: SparseBAConfig = SparseBAConfig(),
     num_frames: int | None = None,
     num_points: int | None = None,
+    axis_name: str | None = None,
 ):
     """LM bundle adjustment over flat observation lists.
 
@@ -74,6 +76,13 @@ def bundle_adjust_sparse(
       obs_frame / obs_point: (O,) int32 indices; obs_xy (O, 2) pixels;
       obs_weight: (O,) — 0 disables an observation (padding).
       pose_free/intr_free (S,), point_free (P,): False freezes.
+      axis_name: when called inside `shard_map` with the observation
+        lists partitioned over a mesh axis, pass that axis' name — every
+        observation reduction (frame/point segment sums, total cost) is
+        then `psum`'d across shards, making this the distributed BA:
+        cameras and points replicate, observations shard (the dominant
+        memory axis), and the CG loop stays bitwise-replicated because
+        all its inputs are global sums.
 
     Returns (extrinsics, intrinsics, extra_params, points3d, info).
     """
@@ -110,6 +119,22 @@ def bundle_adjust_sparse(
         slot_mask = slot_mask.at[:, 7:].set(0.0)
     pmask = point_free.astype(dtype)
 
+    def tie(x):
+        """Orthogonal projection onto the shared-intrinsics subspace.
+
+        With `cfg.shared_intrinsics` the logf/extra delta slots are one
+        variable across frames (the dense solver's tying matrix,
+        lm.py:131-147, expressed here as a projector so the implicit-Schur
+        CG never changes shape): running CG with A -> tie(A(tie(x))) and
+        rhs -> tie(rhs) solves the constrained normal equations exactly on
+        the tied subspace.
+        """
+        if not cfg.shared_intrinsics:
+            return x
+        m = jnp.mean(x[:, 6:], axis=0, keepdims=True)
+        return jnp.concatenate(
+            [x[:, :6], jnp.broadcast_to(m, (S, C - 6))], axis=1)
+
     zc = jnp.zeros((C,), dtype)
     zp = jnp.zeros((3,), dtype)
     jac_fn = jax.jacfwd(_residual_one, argnums=(0, 1))
@@ -131,11 +156,13 @@ def bundle_adjust_sparse(
 
         return jax.vmap(one)(obs_frame, obs_point, obs_xy, w_obs)
 
-    def seg_f(x):  # segment over frames
-        return jax.ops.segment_sum(x, obs_frame, num_segments=S)
+    def seg_f(x):  # segment over frames (global across obs shards)
+        s = jax.ops.segment_sum(x, obs_frame, num_segments=S)
+        return jax.lax.psum(s, axis_name) if axis_name else s
 
-    def seg_p(x):  # segment over points
-        return jax.ops.segment_sum(x, obs_point, num_segments=P)
+    def seg_p(x):  # segment over points (global across obs shards)
+        s = jax.ops.segment_sum(x, obs_point, num_segments=P)
+        return jax.lax.psum(s, axis_name) if axis_name else s
 
     def lm_step(carry, _):
         params, lam, cost = carry
@@ -156,22 +183,23 @@ def bundle_adjust_sparse(
         Vinv = _inv3x3(V_d)
 
         def schur_matvec(x):  # x (S,C)
+            x = tie(x)
             t1 = jnp.einsum("scd,sd->sc", U_d, x)
             y = jnp.einsum("oca,oc->oa", W, x[obs_frame])  # (O,3)
             z = seg_p(y)  # (P,3)
             z = jnp.einsum("pab,pb->pa", Vinv, z)
             u = jnp.einsum("oca,oa->oc", W, z[obs_point])  # (O,C)
-            return t1 - seg_f(u)
+            return tie(t1 - seg_f(u))
 
-        rhs = b_c - seg_f(
+        rhs = tie(b_c - seg_f(
             jnp.einsum("oca,oa->oc", W,
-                       jnp.einsum("pab,pb->pa", Vinv, b_p)[obs_point]))
+                       jnp.einsum("pab,pb->pa", Vinv, b_p)[obs_point])))
 
         # block-Jacobi preconditioner from the damped camera blocks
         M_inv = _spd_inverse_small(U_d, cfg.diag_eps)
 
         def precond(v):
-            return jnp.einsum("scd,sd->sc", M_inv, v)
+            return tie(jnp.einsum("scd,sd->sc", M_inv, tie(v)))
 
         def cg_body(state, _):
             x, rr, p, rz = state
@@ -225,7 +253,8 @@ def bundle_adjust_sparse(
             r = proj - xy
             sq = jnp.sum(r * r)
             return sq * (_robust_sqrt_weight(sq, cfg) ** 2) * w * (z > 0)
-        return jnp.sum(jax.vmap(one)(obs_frame, obs_point, obs_xy, w_obs))
+        c = jnp.sum(jax.vmap(one)(obs_frame, obs_point, obs_xy, w_obs))
+        return jax.lax.psum(c, axis_name) if axis_name else c
 
     params0 = {"R": R0, "t": t0, "f": f0, "pp": pp0, "k": k0, "X": X0}
     cost0 = total_cost(params0)

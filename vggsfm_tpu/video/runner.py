@@ -50,6 +50,15 @@ class VideoConfig:
     max_reproj_error: float = 4.0
     vis_thresh: float = 0.05
     seed: int = 0
+    # ---- robustness retries (parity: video_runner.py:712-751, :169-176)
+    # when PnP registration collapses: retry with 2x query points, then a
+    # shrunk window, then step the query frame back; finally fall back to
+    # camera-predictor poses aligned onto the map (:655-686).
+    min_window_size: int = 2
+    max_step_back: int = 2
+    align_with_camera_predictor: bool = True
+    # one shared camera across the sequence (joint BA ties the focal step)
+    shared_camera: bool = True
 
 
 class MapRegistry:
@@ -102,17 +111,122 @@ class VideoRunner:
 
     # ------------------------------------------------------------------
 
-    def _track_window(self, images_w, query_xy):
+    def _track_window(self, images_w, query_xy, frames_w=None):
         """Track query points (N, 2) through window frames (Sw, R, R, 3).
 
-        Frame 0 of the window is the query frame. Returns
-        (tracks (Sw, N, 2), vis (Sw, N))."""
+        Frame 0 of the window is the query frame; `frames_w` carries the
+        global frame indices (informational — lets tests substitute an
+        oracle tracker). Returns (tracks (Sw, N, 2), vis (Sw, N))."""
         imj = jnp.asarray(images_w)[None]
         fmaps = self.r._fmaps(imj)
         track, vis = self.r._coarse_track(fmaps, jnp.asarray(query_xy)[None])
         if self.r.cfg.fine_tracking:
             track, _ = self.r._fine_track(imj, track)
         return np.asarray(track[0]), np.asarray(vis[0])
+
+    def _attempt_window(self, images, reg, extrinsics, intrinsics, q,
+                        start, w_end, pts_mult=1, pad_frames=None):
+        """Track from query frame `q` through [start, w_end) and
+        PnP-register the new frames against the frozen map.
+
+        One attempt of the retry schedule (parity: video_runner.py's
+        prepare_window_data + align_next_window, :941-1017). Returns a
+        dict with the tracked window and per-frame PnP results; ``ok``
+        marks frames whose inlier count clears `min_inlier_per_frame`.
+        """
+        cfg = self.cfg
+        H = W = images.shape[1]
+        frames_w = [q] + list(range(start, w_end))
+        Sw = len(frames_w)
+        # every attempt runs at FIXED shapes — the query budget and the
+        # window length are padded to their schedule values, so the whole
+        # retry machinery reuses a handful of compiled programs instead of
+        # recompiling per window (load-bearing on the axon backend, where
+        # program reload costs seconds)
+        budget = cfg.max_query_pts * pts_mult
+        Sw_full = max(pad_frames or Sw, Sw)
+        frames_pad = frames_w + [frames_w[-1]] * (Sw_full - Sw)
+
+        # query points: reprojected map points visible in q + fresh
+        proj_q = np.asarray(project_points(
+            jnp.asarray(reg.xyz), jnp.asarray(extrinsics[q][None]),
+            jnp.asarray(intrinsics[q][None])))[0]
+        vis_q = ((proj_q[:, 0] >= 0) & (proj_q[:, 0] < W)
+                 & (proj_q[:, 1] >= 0) & (proj_q[:, 1] < H))
+        map_sel = np.nonzero(vis_q)[0][-budget:]
+        n_map = len(map_sel)
+        map_xy = np.zeros((budget, 2), np.float32)
+        map_xy[:n_map] = proj_q[map_sel]
+        map_ids = np.zeros((budget,), np.int32)
+        map_ids[:n_map] = map_sel
+        map_valid = np.zeros((budget,), bool)
+        map_valid[:n_map] = True
+
+        key = jax.random.PRNGKey(cfg.seed + 17 * start + pts_mult)
+        fresh_xy, fresh_valid = get_query_points(
+            jnp.asarray(images[q]), key, cfg.query_method, budget)
+
+        query_xy = np.concatenate([map_xy, np.asarray(fresh_xy)], axis=0)
+        valid = np.concatenate([map_valid, np.asarray(fresh_valid)])
+        tracks_p, vis_p = self._track_window(images[frames_pad], query_xy,
+                                             frames_w=frames_pad)
+        tracks_w = tracks_p[:Sw]
+        vis_w = vis_p[:Sw] * valid[None]
+
+        map_tracks = tracks_w[:, :budget]  # (Sw, budget, 2)
+        map_vis = (vis_w[:, :budget] > cfg.vis_thresh) & map_valid[None]
+        X_map = np.zeros((budget, 3), np.float32)
+        X_map[:n_map] = reg.xyz[map_sel]
+
+        if n_map >= 6:
+            pnp = absolute_pose_ransac(
+                jnp.asarray(np.repeat(X_map[None], Sw_full - 1, 0)),
+                jnp.asarray(tracks_p[1:, :budget]),
+                jnp.asarray(intrinsics[q][None].repeat(Sw_full - 1, 0)),
+                jax.random.PRNGKey(cfg.seed + start),
+                valid_mask=jnp.asarray(
+                    (vis_p[1:, :budget] > cfg.vis_thresh)
+                    & map_valid[None]),
+                max_ransac_iters=128, lo_num=16, f_trials=1)
+            extr_new = np.asarray(pnp["extrinsics"])[:Sw - 1]
+            ok = (np.asarray(pnp["inlier_num"])
+                  >= cfg.min_inlier_per_frame)[:Sw - 1]
+        else:
+            extr_new = np.repeat(extrinsics[q][None], Sw - 1, 0)
+            ok = np.zeros((Sw - 1,), bool)
+        return {"q": q, "w_end": w_end, "frames_w": frames_w,
+                "tracks": tracks_w, "vis": vis_w, "n_map": n_map,
+                "budget": budget, "map_ids": map_ids,
+                "map_tracks": map_tracks, "map_vis": map_vis,
+                "extr_new": extr_new, "ok": ok}
+
+    def _camera_align_window(self, images_w, extr_w, anchors, image_hw):
+        """Camera-predictor poses for a window, SE3+scale-aligned onto the
+        trusted (anchor) frames of the registered trajectory.
+
+        Parity: video_runner.py:655-686 (predict_cameras per window +
+        utils/align.py:145-252 alignment). Returns (Sw, 3, 4) aligned
+        extrinsics, or None when there are no anchors to align against.
+        """
+        from vggsfm_tpu.geometry.alignment import (
+            align_camera_extrinsics,
+            apply_transformation,
+        )
+        from vggsfm_tpu.geometry.cameras import (
+            pose_encoding_to_extri_intri,
+        )
+
+        n_anchor = int(np.asarray(anchors).sum())
+        if n_anchor < 1:
+            return None
+        pe = self.r._camera_forward(
+            jnp.asarray(images_w)[None])["pred_pose_enc"]
+        extr_pred, _ = pose_encoding_to_extri_intri(pe[0], image_hw)
+        a_idx = np.nonzero(np.asarray(anchors))[0]
+        R_a, T_a, s_a = align_camera_extrinsics(
+            extr_pred[a_idx], jnp.asarray(extr_w[a_idx]),
+            estimate_scale=n_anchor > 1)
+        return np.asarray(apply_transformation(extr_pred, R_a, T_a, s_a))
 
     def save_checkpoint(self, path: str, reg, extrinsics, intrinsics,
                         registered, end: int, windows_done: int) -> None:
@@ -176,54 +290,55 @@ class VideoRunner:
             windows_done = 0
             end = S0
         while end < T:
-            w_end = min(end + cfg.window_size, T)
-            q = end - 1  # query = last registered frame
-            frames_w = [q] + list(range(end, w_end))
+            # ---- retry schedule when PnP registration collapses:
+            # full window -> 2x query points -> shrunk window -> step the
+            # query frame back (parity: video_runner.py:712-751, :169-176)
+            schedule = [
+                (end - 1, cfg.window_size, 1),
+                (end - 1, cfg.window_size, 2),
+                (end - 1, max(cfg.min_window_size, cfg.window_size // 2),
+                 2),
+            ]
+            for back in range(1, cfg.max_step_back + 1):
+                if end - 1 - back >= 0 and registered[end - 1 - back]:
+                    schedule.append((end - 1 - back, cfg.window_size, 2))
+            res = None
+            for q, wsz, mult in schedule:
+                attempt = self._attempt_window(
+                    images, reg, extrinsics, intrinsics, q, end,
+                    min(end + wsz, T), mult, pad_frames=wsz + 1)
+                if attempt["ok"].any():
+                    res = attempt
+                    break
+            if res is None:
+                res = attempt  # nothing registered by PnP; fall through
+
+            q = res["q"]
+            w_end = res["w_end"]
+            frames_w = res["frames_w"]
             Sw = len(frames_w)
-            images_w = images[frames_w]
-
-            # query points: reprojected map points visible in q + fresh
-            proj_q = np.asarray(project_points(
-                jnp.asarray(reg.xyz), jnp.asarray(extrinsics[q][None]),
-                jnp.asarray(intrinsics[q][None])))[0]
-            vis_q = ((proj_q[:, 0] >= 0) & (proj_q[:, 0] < W)
-                     & (proj_q[:, 1] >= 0) & (proj_q[:, 1] < H))
-            map_ids = np.nonzero(vis_q)[0][-cfg.max_query_pts:]
-            n_map = len(map_ids)
-
-            key = jax.random.PRNGKey(cfg.seed + 17 * end)
-            fresh_xy, fresh_valid = get_query_points(
-                jnp.asarray(images[q]), key, cfg.query_method,
-                cfg.max_query_pts)
-            fresh_xy = np.asarray(fresh_xy)[np.asarray(fresh_valid)]
-
-            query_xy = np.concatenate([proj_q[map_ids], fresh_xy], axis=0)
-            tracks_w, vis_w = self._track_window(images_w, query_xy)
-
-            # ---- register new frames by PnP on tracked map points
-            map_tracks = tracks_w[:, :n_map]  # (Sw, n_map, 2)
-            map_vis = vis_w[:, :n_map] > cfg.vis_thresh
             new_frames = frames_w[1:]
+            tracks_w, vis_w = res["tracks"], res["vis"]
+            n_map, map_ids = res["n_map"], res["map_ids"]
+            budget = res["budget"]
+            map_tracks, map_vis = res["map_tracks"], res["map_vis"]
             X_map = reg.xyz[map_ids]
+            extr_new, ok = res["extr_new"], res["ok"]
 
-            if n_map >= 6:
-                pnp = absolute_pose_ransac(
-                    jnp.asarray(np.repeat(X_map[None], Sw - 1, 0)),
-                    jnp.asarray(map_tracks[1:]),
-                    jnp.asarray(intrinsics[q][None].repeat(Sw - 1, 0)),
-                    jax.random.PRNGKey(cfg.seed + end),
-                    valid_mask=jnp.asarray(map_vis[1:]),
-                    max_ransac_iters=128, lo_num=16, f_trials=1)
-                extr_new = np.asarray(pnp["extrinsics"])
-                ok = np.asarray(pnp["inlier_num"]) >= \
-                    cfg.min_inlier_per_frame
-            else:
-                # too few tracked map points (e.g. degenerate window):
-                # constant-velocity fallback — keep the query pose
-                extr_new = np.repeat(extrinsics[q][None], Sw - 1, 0)
-                ok = np.zeros((Sw - 1,), bool)
+            # ---- fill frames PnP could not place: camera-predictor poses
+            # aligned SE3+scale onto the registered map (parity:
+            # video_runner.py:655-686 via utils/align.py:145-252), else the
+            # query pose
+            fill = np.repeat(extrinsics[q][None], Sw - 1, 0)
+            if not ok.all() and cfg.align_with_camera_predictor:
+                aligned = self._camera_align_window(
+                    images[frames_w], extrinsics[frames_w],
+                    np.concatenate([[True], ok]), (W, H))
+                if aligned is not None:
+                    fill = aligned[1:]
+            extr_new = np.where(ok[:, None, None], extr_new, fill)
             for i, fidx in enumerate(new_frames):
-                extrinsics[fidx] = extr_new[i] if ok[i] else extrinsics[q]
+                extrinsics[fidx] = extr_new[i]
                 intrinsics[fidx] = intrinsics[q]
                 registered[fidx] = True
 
@@ -249,8 +364,8 @@ class VideoRunner:
                     map_tracks[i][seen])
 
             # ---- triangulate fresh tracks over the window
-            fresh_tracks = tracks_w[:, n_map:]
-            fresh_vis = vis_w[:, n_map:]
+            fresh_tracks = tracks_w[:, budget:]
+            fresh_vis = vis_w[:, budget:]
             tn = cam_from_img(jnp.asarray(fresh_tracks),
                               jnp.asarray(intrinsics[frames_w]))
             pts_new, inl_num, inl_mask = triangulate_tracks(
@@ -298,7 +413,12 @@ class VideoRunner:
         if P == 0 or len(reg.obs_frame) == 0:
             return
         pose_free = jnp.asarray(registered & (np.arange(T) != 0))
-        cfg = SparseBAConfig(max_iterations=12, refine_focal=False,
+        # a video sequence is one physical camera: tie the focal step
+        # across frames (reference: shared pycolmap camera in joint_BA,
+        # video_runner.py:494-541)
+        cfg = SparseBAConfig(max_iterations=12,
+                             refine_focal=self.cfg.shared_camera,
+                             shared_intrinsics=self.cfg.shared_camera,
                              cg_iters=30, robust_loss="cauchy",
                              loss_scale=4.0)
         extr, intr, _, X, info = bundle_adjust_sparse(
