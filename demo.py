@@ -30,6 +30,9 @@ def parse_args(argv):
                         "OUT/depths/*.bin (COLMAP array format)")
     p.add_argument("--depth-checkpoint", default=None,
                    help="DepthAnythingV2 torch checkpoint (optional)")
+    p.add_argument("--glb", action="store_true",
+                   help="write OUT/scene.glb (point cloud + camera "
+                        "frusta, viewable in any glTF viewer)")
     p.add_argument("--camera-type", default="SIMPLE_PINHOLE",
                    choices=["SIMPLE_PINHOLE", "SIMPLE_RADIAL"])
     p.add_argument("--shared-camera", action="store_true")
@@ -61,6 +64,7 @@ def main(argv=None):
         checkpoint=args.checkpoint,
         dense_depth=args.dense_depth,
         depth_checkpoint=args.depth_checkpoint,
+        make_glb=args.glb,
         seed=args.seed,
     )
     if args.config:
