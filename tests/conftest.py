@@ -11,9 +11,13 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's parallel LLVM codegen segfaults intermittently in this
+# environment after many compiles in one process — serialize it. (Run the
+# suite with `pytest -n 4` so compiles also spread over processes.)
+if "xla_cpu_parallel_codegen_split_count" not in _flags:
+    _flags = (_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = _flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax

@@ -13,9 +13,16 @@ import os
 _DEFAULT_DIR = os.path.expanduser("~/.cache/vggsfm_tpu_xla")
 
 
-def enable_compilation_cache(path: str | None = None) -> str:
+def enable_compilation_cache(path: str | None = None) -> str | None:
     import jax
 
+    # CPU executable (de)serialization segfaults in this environment —
+    # never persist-cache on the CPU backend (tests construct runners
+    # under JAX_PLATFORMS=cpu; a half-written entry then crashes every
+    # later run that reads it)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu" \
+            or jax.default_backend() == "cpu":
+        return None
     path = path or os.environ.get("VGGSFM_TPU_XLA_CACHE", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
