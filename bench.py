@@ -37,7 +37,7 @@ def main():
     images = scene["images"]
 
     cfg = RunnerConfig(img_size=R, query_frame_num=1, max_query_pts=4096,
-                       query_method="sift", fine_tracking=True,
+                       query_method="sift+harris", fine_tracking=True,
                        comple_nonvis=False, robust_refine=2, ba_iters=2)
     runner = VGGSfMRunner(cfg)
 
@@ -57,7 +57,11 @@ def main():
     auc30 = float(np.asarray(pose_auc30(out["extrinsics"],
                                         scene["extrinsics"])))
 
-    ok = valid_tracks > 0
+    # correctness gate: a bench run that reconstructs nothing, or whose
+    # recovered poses don't match the planted cameras, reports 0 and
+    # exits nonzero — total pipeline failure can't masquerade as a perf
+    # number
+    ok = valid_tracks >= 100 and auc30 >= 0.5
     print(json.dumps({
         "metric": "sparse_8frame_e2e_frames_per_s",
         "value": round(fps if ok else 0.0, 3),

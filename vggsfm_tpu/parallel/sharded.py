@@ -39,20 +39,40 @@ def sharded_track_and_reconstruct(tracker, mesh):
     ransac_pairs = None  # computed per call (static shapes)
 
     def step(params, images, query_points, extrinsics, intrinsics, pairs):
+        from vggsfm_tpu.models.refine import refine_track
+
         fmaps = tracker.apply(params, images,
                               method="process_images_to_fmaps")
         coord_preds, vis = tracker.apply(
             params, query_points, fmaps, 6, 2,
             method=lambda m, q, f, iters, dr: m.coarse_predictor(
-                q, f, iters=iters, down_ratio=dr))
-        tracks = coord_preds[-1]  # (B, S, N, 2)
+                q, f, iters=iters, down_ratio=dr,
+                matching_init=True, matching_vis=True))
+        coarse = coord_preds[-1]  # (B, S, N, 2)
+
+        # fine refinement: patch features + fine former + NCC polish, all
+        # sharded over `points` (each track's 31x31 patch pipeline is
+        # independent) — the dryrun covers the production fine path, not
+        # a coarse-only simplification
+        def fnet(x):
+            return tracker.apply(params, x, method="apply_fine_fnet")
+
+        def ftrack(q, f, iters, return_feat, matching_init):
+            return tracker.apply(params, q, f, iters, return_feat,
+                                 matching_init,
+                                 method="apply_fine_predictor")
+
+        tracks, _score = refine_track(images, fnet, ftrack, coarse,
+                                      compute_score=True,
+                                      matching_init=True,
+                                      subpixel_refine=True)
 
         tr = tracks[0]
         vis0 = vis[0]
         tracks_norm = cam_from_img(tr, intrinsics, None)
         pts, inl_num, inl_mask = triangulate_tracks_chunk(
             extrinsics, jnp.swapaxes(tracks_norm, 0, 1), pairs,
-            track_vis=vis0.T, max_ransac_iters=pairs.shape[0], lo_num=8)
+            track_vis=vis0.T, max_ransac_iters=pairs.shape[0], lo_num=16)
 
         valid = inl_num >= 2
         obs_mask = inl_mask.T & valid[None]
@@ -60,7 +80,7 @@ def sharded_track_and_reconstruct(tracker, mesh):
         extr_o, intr_o, _, pts_o, info = bundle_adjust(
             extrinsics, intrinsics, pts, tr, obs_mask,
             pose_free=jnp.arange(S) != 0, point_free=valid,
-            cfg=BAConfig(max_iterations=3, refine_focal=False,
+            cfg=BAConfig(max_iterations=10, refine_focal=False,
                          point_chunk=1 << 20))
         return tracks, vis, pts_o, extr_o, info["final_cost"]
 
