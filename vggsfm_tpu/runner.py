@@ -432,7 +432,13 @@ class VGGSfMRunner:
         """
         cfg = self.cfg
         t_start = time.time()
-        images = jnp.asarray(images)[None]  # (1, S, R, R, 3)
+        # device placement: pass a jax array to keep frames resident
+        # across calls (the video runner does); uint8 input uploads 4x
+        # less and normalizes on device
+        images = jnp.asarray(images)
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        images = images[None]  # (1, S, R, R, 3)
         B, S, H, W, _ = images.shape
         timings = {}
 
@@ -505,13 +511,21 @@ class VGGSfMRunner:
             w = (out["valid_2d_mask"]).astype(jnp.float32)[..., None]
             colors = (jnp.sum(rgb * w, axis=0)
                       / jnp.maximum(jnp.sum(w, axis=0), 1))
+        # one batched device->host pull (per-array np.asarray costs a
+        # ~30-50 ms round trip each on a tunneled backend)
+        device_out = {
+            **{k: v for k, v in out.items() if v is not None},
+            "pred_track": track,
+            "pred_vis": vis,
+            "pred_score": score,
+        }
+        if colors is not None:
+            device_out["colors"] = colors
+        host_out = jax.device_get(device_out)
         predictions = {
-            **{k: np.asarray(v) if v is not None else None
-               for k, v in out.items()},
-            "pred_track": np.asarray(track),
-            "pred_vis": np.asarray(vis),
-            "pred_score": np.asarray(score),
-            "colors": None if colors is None else np.asarray(colors),
+            **{k: None for k, v in out.items() if v is None},
+            "colors": None,
+            **host_out,
             "timings": timings,
             "total_time": time.time() - t_start,
         }
