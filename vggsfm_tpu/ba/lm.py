@@ -39,6 +39,9 @@ from vggsfm_tpu.geometry.rotations import axis_angle_to_matrix
 from vggsfm_tpu.utils.precision import f32_matmuls
 
 _EPS = 1e-12
+# squared-pixel cost charged for a behind-camera observation (and the cap on
+# any single observation's squared error): ~(100 px)^2
+_BEHIND_PENALTY_SQ = 1e4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,10 +168,16 @@ def reprojection_cost(extrinsics, focal, pp, extra, points3d, tracks, mask,
         def per_pt(X, o):
             proj, z = _project_one(R_s, t_s, f_s, pp_s, k_s, X)
             r = proj - o
-            return jnp.sum(r * r) * (z > 0)
+            sq = jnp.minimum(jnp.sum(r * r), _BEHIND_PENALTY_SQ)
+            # behind-camera observations must COST, not vanish: a zero
+            # contribution lets LM drive the total to 0 by flipping the
+            # camera until every point is behind it (accepted as a
+            # perfect fit). Constant penalty: no gradient through it,
+            # but the accept/reject test sees the flip as worse.
+            return jnp.where(z > 0, sq, _BEHIND_PENALTY_SQ)
         sq = jax.vmap(per_pt)(points3d, obs_s)
         w = _robust_sqrt_weight(sq, cfg) ** 2
-        return jnp.sum(sq * w * m_s)
+        return jnp.sum(jnp.where(m_s > 0, sq * w, 0.0))
 
     costs = jax.vmap(per_cam)(R, t, focal, pp, k, tracks, mask)
     return jnp.sum(costs)

@@ -76,6 +76,7 @@ class RunnerConfig:
     query_by_midpoint: bool = False
     camera_type: str = "SIMPLE_PINHOLE"
     shared_camera: bool = False
+    refine_focal: bool = True
     robust_refine: int = 2
     ba_iters: int = 2
     max_reproj_error: float = 4.0
@@ -498,6 +499,7 @@ class VGGSfMRunner:
             robust_refine=cfg.robust_refine,
             ba_iters=cfg.ba_iters,
             shared_camera=cfg.shared_camera,
+            refine_focal=cfg.refine_focal,
             camera_type=cfg.camera_type)
         out = run_sfm(extr_init, intr_init, track[0], vis[0], (W, H),
                       fmat_inlier_mask=pre["fmat_inlier_mask"][0],

@@ -66,10 +66,16 @@ def refine_poses(extrinsics, intrinsics, points3d, tracks, obs_mask,
     inputs (and reported False in the mask).
     """
     S, N = obs_mask.shape
+    # Huber loss is load-bearing here: obs_mask is only visibility-gated
+    # (mismatched tracks included by design — the RANSAC/inlier filters run
+    # later), and a trivial-loss LM lets a handful of large-error outliers
+    # drag a near-perfect pose tens of degrees off. The reference's
+    # pycolmap.pose_refinement is robust for the same reason.
     cfg = BAConfig(max_iterations=max_iterations,
                    refine_focal=refine_intrinsics,
                    refine_extra=refine_intrinsics and extra_params is not None,
-                   shared_intrinsics=shared_intrinsics)
+                   shared_intrinsics=shared_intrinsics,
+                   robust_loss="huber", loss_scale=3.0)
     extr_o, intr_o, extra_o, _, _ = bundle_adjust(
         extrinsics, intrinsics, points3d, tracks, obs_mask,
         extra_params=extra_params,
@@ -79,35 +85,78 @@ def refine_poses(extrinsics, intrinsics, points3d, tracks, obs_mask,
         cfg=cfg)
 
     valid = camera_validity_mask(intr_o, extr_o, image_size, extra_o)
+    # a 7-DoF camera refined against fewer than ~6 points is
+    # underdetermined — LM can "perfectly fit" a wrong pose. Keep the
+    # input camera for starved frames (and never PnP them either).
+    n_obs = jnp.sum(obs_mask, axis=1)
+    valid &= n_obs >= 6
 
     if force_estimate and pnp_key is not None:
         # absolute-pose re-estimation (parity: triangulation.py:384-433
-        # pycolmap absolute_pose_estimation). The reference only re-poses
-        # frames whose focal left the validity window; here every frame is
-        # also scored by robust reprojection error and the PnP pose wins
-        # wherever it fits the cloud better — this is what registers
-        # frames whose initialization had the wrong translation scale
-        # (two-view chained init) or was simply bad (failed prediction).
+        # pycolmap absolute_pose_estimation). Two regimes, deliberately
+        # separated:
+        #   1. pose-only competition at the frame's CURRENT focal — every
+        #      frame is scored by robust reprojection error and the PnP
+        #      pose wins where it fits the cloud better. This registers
+        #      frames whose initialization had the wrong translation
+        #      scale (two-view chained init) or a bad prediction.
+        #   2. full re-estimation WITH the focal sweep only for frames
+        #      whose camera left the validity window (the reference's
+        #      gate). Letting the sweep compete on valid frames is a
+        #      focal-drift engine: on weakly-constrained (near-planar)
+        #      geometry a larger focal reprojects marginally better,
+        #      wins the comparison, and BA then compounds it each round
+        #      (observed 1.4x/round up to 12x on the oracle scene).
         from vggsfm_tpu.twoview.pnp import absolute_pose_ransac
 
-        # with shared intrinsics the focal is already estimated jointly —
-        # a per-frame focal sweep would fight the shared-camera constraint
-        pnp = absolute_pose_ransac(
-            jnp.broadcast_to(points3d[None], (S,) + points3d.shape),
-            tracks, intrinsics, pnp_key, valid_mask=obs_mask,
-            f_trials=1 if shared_intrinsics else 17)
-        pnp_valid = camera_validity_mask(
-            pnp["intrinsics"], pnp["extrinsics"], image_size)
+        pts_b = jnp.broadcast_to(points3d[None], (S,) + points3d.shape)
         err_lm = _frame_reproj_error(extr_o, intr_o, points3d, tracks,
                                      obs_mask)
+
+        def _cheirality_frac(extr):
+            z = (jnp.einsum("sj,nj->sn", extr[:, 2, :3], points3d)
+                 + extr[:, 2, 3][:, None])
+            w = obs_mask.astype(jnp.float32)
+            return (jnp.sum((z > 0) * w, axis=1)
+                    / jnp.maximum(jnp.sum(w, axis=1), 1.0))
+
+        pnp = absolute_pose_ransac(pts_b, tracks, intrinsics, pnp_key,
+                                   valid_mask=obs_mask, f_trials=1)
+        pnp_valid = camera_validity_mask(
+            pnp["intrinsics"], pnp["extrinsics"], image_size)
+        # near-planar point sets admit a flipped PnP pose whose ROBUST
+        # reprojection error can edge out the true one: only let PnP
+        # displace an LM pose that is genuinely broken (err_lm above the
+        # rescue threshold), and never adopt a pose that puts a chunk of
+        # the cloud behind the camera
+        rescue = 8.0
+        pnp_valid &= _cheirality_frac(pnp["extrinsics"]) > 0.8
+        pnp_valid &= n_obs >= 8
         err_pnp = _frame_reproj_error(pnp["extrinsics"], pnp["intrinsics"],
                                       points3d, tracks, obs_mask)
-        use_pnp = pnp_valid & (((~valid)) | (err_pnp < err_lm))
+        use_pnp = pnp_valid & (((~valid))
+                               | ((err_pnp < err_lm) & (err_lm > rescue)))
         extr_o = jnp.where(use_pnp[:, None, None], pnp["extrinsics"],
                            extr_o)
         intr_o = jnp.where(use_pnp[:, None, None], pnp["intrinsics"],
                            intr_o)
         valid |= use_pnp
+
+        if not shared_intrinsics:
+            # focal unknown only where the camera is still invalid
+            pnp_f = absolute_pose_ransac(pts_b, tracks, intrinsics,
+                                         pnp_key, valid_mask=obs_mask,
+                                         f_trials=17)
+            pnp_f_valid = camera_validity_mask(
+                pnp_f["intrinsics"], pnp_f["extrinsics"], image_size)
+            pnp_f_valid &= _cheirality_frac(pnp_f["extrinsics"]) > 0.8
+            pnp_f_valid &= n_obs >= 8
+            use_f = pnp_f_valid & ~valid
+            extr_o = jnp.where(use_f[:, None, None], pnp_f["extrinsics"],
+                               extr_o)
+            intr_o = jnp.where(use_f[:, None, None], pnp_f["intrinsics"],
+                               intr_o)
+            valid |= use_f
 
     v3 = valid[:, None, None]
     extr_o = jnp.where(v3, extr_o, extrinsics)

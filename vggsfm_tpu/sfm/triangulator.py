@@ -111,6 +111,26 @@ def init_ba(extrinsics, intrinsics, extra_params, tracks, points_3d_pair,
     init_points = points_3d_pair[init_idx]
     pair_inlier = inlier_total[init_idx]  # (N,)
 
+    # pre-BA mismatch gate: the epipolar inlier mask is optional at the
+    # run_sfm API, so pair_inlier can still carry gross mismatches. A
+    # mismatched track's DLT point reprojects tens of px off in at least
+    # one pair frame, while correct tracks share only the (systematic,
+    # much smaller) error of the noisy initial relative pose — gate at
+    # 3x the median pair error (floor 8 px) before letting BA see them.
+    from vggsfm_tpu.geometry.cameras import project_points
+
+    pair_frames = jnp.stack([extrinsics[0], extrinsics[init_idx + 1]])
+    pair_intr = jnp.stack([intrinsics[0], intrinsics[init_idx + 1]])
+    pair_obs = jnp.stack([tracks[0], tracks[init_idx + 1]])
+    proj, pcam = project_points(init_points, pair_frames, pair_intr,
+                                return_points_cam=True)
+    err_pair = jnp.linalg.norm(proj - pair_obs, axis=-1)  # (2, N)
+    err_pair = jnp.where(pcam[:, 2] > 0, err_pair, jnp.inf)
+    err_max = jnp.max(err_pair, axis=0)
+    med = jnp.nan_to_num(jnp.nanmedian(
+        jnp.where(pair_inlier, err_max, jnp.nan)), nan=8.0)
+    pair_inlier &= err_max <= jnp.maximum(3.0 * med, 8.0)
+
     obs_mask = jnp.zeros((S, N), bool)
     obs_mask = obs_mask.at[0].set(pair_inlier)
     obs_mask = obs_mask.at[init_idx + 1].set(pair_inlier)
@@ -119,10 +139,16 @@ def init_ba(extrinsics, intrinsics, extra_params, tracks, points_3d_pair,
     intr_free = jnp.zeros((S,), bool).at[0].set(True).at[init_idx + 1].set(
         True)
 
+    # Huber: when run_sfm is called without a fundamental-matrix inlier
+    # mask, pair_inlier still contains gross mismatches; a trivial-loss
+    # init BA lets them drag the pair geometry (and the focals) off, and
+    # the strict init reprojection filter below then wipes out the cloud
+    ba_cfg = dataclasses.replace(_ba_cfg(cfg), robust_loss="huber",
+                                 loss_scale=3.0)
     extr_o, intr_o, extra_o, pts_o, _ = bundle_adjust(
         extrinsics, intrinsics, init_points, tracks, obs_mask,
         extra_params=extra_params, pose_free=pose_free, intr_free=intr_free,
-        point_free=pair_inlier, cfg=_ba_cfg(cfg))
+        point_free=pair_inlier, cfg=ba_cfg)
 
     # keep only points that reproject well in the init pair
     reproj_ok, _ = filter_points3d(
