@@ -39,6 +39,9 @@ def parse_args(argv):
     p.add_argument("--checkpoint", default=None,
                    help="reference torch checkpoint to convert (optional)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a JAX profiler trace of the run here "
+                        "(view with tensorboard / xprof)")
     p.add_argument("--config", default=None,
                    help="YAML config (cfgs/demo.yaml schema); CLI flags "
                         "override file values")
@@ -66,6 +69,7 @@ def main(argv=None):
         depth_checkpoint=args.depth_checkpoint,
         make_glb=args.glb,
         seed=args.seed,
+        profile_dir=args.profile_dir,
     )
     if args.config:
         import dataclasses

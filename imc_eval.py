@@ -33,8 +33,16 @@ def main(argv=None):
     ap.add_argument("--max-query-pts", type=int, default=4096)
     ap.add_argument("--query-method", default="aliked")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--no-fine-tracking", action="store_true")
+    ap.add_argument("--calib-ext", default=".h5", choices=[".h5", ".npz"],
+                    help="calibration file format (npz for fixtures)")
     ap.add_argument("--exclude-london-bridge", action="store_true")
     ap.add_argument("--shared-camera", action="store_true")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a JAX profiler trace per bag under here")
+    ap.add_argument("--submission-dir", default=None,
+                    help="write per-bag pose h5 files (IMC submission "
+                         "layout) here")
     ap.add_argument("--out", default=None, help="write JSON results here")
     args = ap.parse_args(argv)
 
@@ -42,7 +50,8 @@ def main(argv=None):
     from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
 
     ds = IMCDataset(args.imc_dir, img_size=args.img_size,
-                    exclude_london_bridge=args.exclude_london_bridge)
+                    exclude_london_bridge=args.exclude_london_bridge,
+                    calib_ext=args.calib_ext)
     names = args.bags or ds.sequence_names()
     if not names:
         print("no bags found under", args.imc_dir, file=sys.stderr)
@@ -53,7 +62,9 @@ def main(argv=None):
                        max_query_pts=args.max_query_pts,
                        query_method=args.query_method,
                        shared_camera=args.shared_camera,
-                       checkpoint=args.checkpoint)
+                       fine_tracking=not args.no_fine_tracking,
+                       checkpoint=args.checkpoint,
+                       profile_dir=args.profile_dir)
     runner = VGGSfMRunner(cfg)
 
     results = {"bags": {}, "config": {
@@ -65,10 +76,15 @@ def main(argv=None):
     for name in names:
         data = ds.load_bag(name)
         t0 = time.time()
-        out = runner.sparse_reconstruct(data["images"][None],
+        out = runner.sparse_reconstruct(data["images"],
                                         image_names=data["image_names"])
         wall = time.time() - t0
         scores = evaluate_bag(out["extrinsics"], data["gt_extrinsics"])
+        if args.submission_dir:
+            from vggsfm_tpu.datasets.imc import save_pose_submission
+
+            save_pose_submission(args.submission_dir, name,
+                                 data["image_names"], out["extrinsics"])
         m = scores["pair_mask"]
         row = {
             "num_frames": int(len(data["images"])),

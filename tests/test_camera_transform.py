@@ -60,6 +60,32 @@ class TestIntrinsicsAdjust:
         assert np.allclose(uv_s, uv_c * 2.0, atol=1e-4)
 
 
+class TestCropParamsAdjust:
+    def test_matches_loader_pixel_transform(self):
+        """K adjusted via crop_params projects where the loader moves pixels."""
+        from vggsfm_tpu.datasets.camera_transform import (
+            adjust_intrinsics_from_crop_params,
+        )
+        from vggsfm_tpu.datasets.demo_loader import crop_parameters
+
+        w, h, img_size = 640, 480, 256
+        crop_dim = max(w, h)
+        # center square crop/pad to (crop_dim, crop_dim): x offset 0,
+        # y offset -(crop_dim - h) / 2 (padding above)
+        bbox = np.array([0, -(crop_dim - h) // 2,
+                         crop_dim, h - (crop_dim - h) // 2])
+        params = crop_parameters(w, h, bbox, crop_dim, img_size)
+        K = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]],
+                     np.float32)
+        K2 = np.asarray(adjust_intrinsics_from_crop_params(
+            K, params, img_size))
+        X = np.array([0.4, -0.1, 3.0])
+        uv = (K @ X)[:2] / X[2]
+        uv_expect = (uv - bbox[:2]) * (img_size / crop_dim)
+        uv_got = (K2 @ X)[:2] / X[2]
+        assert np.allclose(uv_got, uv_expect, atol=1e-3)
+
+
 class TestNormalizeCameras:
     def test_optical_axis_intersection_exact(self):
         target = np.array([0.5, -0.3, 4.0])

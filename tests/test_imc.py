@@ -53,3 +53,58 @@ class TestIMC:
         res = evaluate_bag(bag["gt_extrinsics"], bag["gt_extrinsics"])
         assert res["auc30"] > 0.95
         assert np.nanmax(res["rot_err_deg"][res["pair_mask"]]) < 0.1
+
+    def test_gt_intrinsics_resized(self, tmp_path):
+        """Adjusted GT K moves pixels the way the loader's crop/resize does."""
+        root = make_imc_fixture(tmp_path)
+        ds = IMCDataset(root, img_size=64, calib_ext=".npz")
+        bag = ds.load_bag(ds.sequence_names()[0])
+        K = bag["gt_intrinsics"][0].astype(np.float64)
+        K2 = bag["gt_intrinsics_resized"][0].astype(np.float64)
+        # fixture images are 80x60 -> square crop 80 (y offset -10) ->
+        # resize 64: check an original pixel maps consistently
+        X = np.array([0.1, 0.05, 2.0])
+        uv = (K @ X)[:2] / X[2]
+        uv2 = (K2 @ X)[:2] / X[2]
+        np.testing.assert_allclose(uv2, (uv - [0, -10]) * (64 / 80),
+                                   atol=1e-3)
+
+    def test_pose_submission_roundtrip(self, tmp_path):
+        from vggsfm_tpu.datasets.imc import load_h5, save_pose_submission
+
+        root = make_imc_fixture(tmp_path)
+        ds = IMCDataset(root, img_size=64, calib_ext=".npz")
+        name = ds.sequence_names()[0]
+        bag = ds.load_bag(name)
+        path = save_pose_submission(str(tmp_path / "sub"), name,
+                                    bag["image_names"],
+                                    bag["gt_extrinsics"])
+        loaded = load_h5(path)
+        assert len(loaded) == len(bag["image_names"])
+        np.testing.assert_allclose(loaded["pose_img_000"],
+                                   bag["gt_extrinsics"][0], atol=1e-6)
+
+    def test_imc_eval_cli_end_to_end(self, tmp_path):
+        """imc_eval.main on the synthetic fixture: table + submission."""
+        import json
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import imc_eval
+
+        root = make_imc_fixture(tmp_path)
+        out_json = str(tmp_path / "results.json")
+        rc = imc_eval.main([
+            "--imc-dir", root, "--img-size", "64",
+            "--query-frame-num", "1", "--max-query-pts", "32",
+            "--query-method", "harris", "--no-fine-tracking",
+            "--calib-ext", ".npz",
+            "--submission-dir", str(tmp_path / "sub"),
+            "--out", out_json,
+        ])
+        assert rc == 0
+        results = json.load(open(out_json))
+        bag = results["bags"]["5bag_000_grand_place_brussels"]
+        assert bag["num_frames"] == 4
+        assert "stage_s" in bag and "sfm" in bag["stage_s"]
+        assert os.path.exists(str(tmp_path / "sub"))

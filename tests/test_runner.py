@@ -121,6 +121,29 @@ class TestRunnerSmoke:
         rec = read_model(os.path.join(out_dir, "sparse"))
         assert len(rec.images) == S
 
+    def test_profiler_trace_capture(self, tmp_path):
+        """profile_dir captures a JAX profiler trace with stage markers."""
+        import glob
+
+        from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+
+        rng = np.random.default_rng(0)
+        S, R = 2, 128
+        images = rng.uniform(size=(S, R, R, 3)).astype(np.float32)
+        prof_dir = str(tmp_path / "trace")
+        cfg = RunnerConfig(img_size=R, query_frame_num=1, max_query_pts=64,
+                           query_method="harris", fine_tracking=False,
+                           comple_nonvis=False, robust_refine=0, ba_iters=1,
+                           profile_dir=prof_dir)
+        runner = VGGSfMRunner(cfg)
+        preds = runner.sparse_reconstruct(images)
+        assert set(preds["timings"]) >= {"query_rank", "camera_init",
+                                         "fmaps", "tracking",
+                                         "preliminary", "sfm"}
+        traces = glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
+                           recursive=True)
+        assert traces, f"no trace written under {prof_dir}"
+
 
 @pytest.mark.slow
 class TestExtraPoints:

@@ -48,6 +48,25 @@ def adjust_intrinsics_to_scale(intrinsics, original_wh, new_wh):
     return K.at[..., 2, 2].set(1.0)
 
 
+def adjust_intrinsics_from_crop_params(intrinsics, crop_params,
+                                       img_size: int):
+    """Original-pixel K -> model-input-pixel K via the loader's 8-vector.
+
+    ``crop_params = [W, H, crop_width, s, bbox_after(4)]`` as produced by
+    `vggsfm_tpu.datasets.demo_loader.crop_parameters` (square crop to
+    max(W, H), then resize to ``img_size``). Inverse of the export-time
+    rescale in the runner's `save_reconstruction`.
+    """
+    intrinsics = jnp.asarray(intrinsics)
+    crop_params = jnp.asarray(crop_params, intrinsics.dtype)
+    crop_dim = jnp.maximum(crop_params[..., 0], crop_params[..., 1])
+    bbox = crop_params[..., 4:8] * (crop_dim[..., None] / img_size)
+    K = adjust_intrinsics_to_crop(intrinsics, bbox)
+    wh = jnp.stack([crop_dim, crop_dim], axis=-1)
+    new_wh = jnp.full_like(wh, img_size)
+    return adjust_intrinsics_to_scale(K, wh, new_wh)
+
+
 def optical_axis_intersection(extrinsics):
     """Least-squares meet of the cameras' optical axes.
 

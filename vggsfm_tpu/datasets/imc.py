@@ -103,21 +103,83 @@ class IMCDataset:
             extr.append(np.concatenate([e["R"], e["T"][:, None]], axis=1))
             intr.append(e["K"])
         extr = np.stack(extr)
-        # express GT relative to the first camera (pipeline convention)
-        R0 = extr[0, :, :3].copy()
-        t0 = extr[0, :, 3].copy()
-        for s in range(len(extr)):
-            R = extr[s, :, :3] @ R0.T
-            extr[s, :, :3] = R
-            extr[s, :, 3] = extr[s, :, 3] - R @ t0
+        params = np.stack(params)
+        # express GT relative to the first camera (pipeline convention;
+        # parity: datasets/camera_transform.py first_camera_transform)
+        from vggsfm_tpu.datasets.camera_transform import (
+            adjust_intrinsics_from_crop_params,
+            first_camera_transform,
+        )
+
+        extr, _ = first_camera_transform(extr)
+        # GT intrinsics in the model-input (cropped/resized) pixel space,
+        # alongside the original-pixel K (parity: the reference's
+        # adjust_camera_to_bbox_crop_/adjust_camera_to_image_scale_ chain)
+        intr = np.stack(intr)
+        intr_resized = adjust_intrinsics_from_crop_params(
+            intr, params, self.img_size)
         return {
             "images": np.stack(images),
-            "crop_params": np.stack(params),
-            "gt_extrinsics": extr.astype(np.float32),
-            "gt_intrinsics": np.stack(intr).astype(np.float32),
+            "crop_params": params,
+            "gt_extrinsics": np.asarray(extr, np.float32),
+            "gt_intrinsics": intr.astype(np.float32),
+            "gt_intrinsics_resized": np.asarray(intr_resized, np.float32),
             "image_names": [os.path.basename(e["filepath"])
                             for e in entries],
         }
+
+
+def save_h5(dict_to_save: dict, filename: str) -> None:
+    """Write a flat dict of arrays to HDF5 (npz fallback without h5py).
+
+    Parity: imc_helper.py:629-657 (`save_h5`/`load_h5`) — the IMC
+    benchmark's interchange format. Keys with '/' are escaped like the
+    reference does (replaced so they stay one dataset per key).
+    """
+    if h5py is None or filename.endswith(".npz"):
+        np.savez(filename if filename.endswith(".npz")
+                 else filename + ".npz",
+                 **{k.replace("/", "-"): np.asarray(v)
+                    for k, v in dict_to_save.items()})
+        return
+    with h5py.File(filename, "w") as f:
+        for k, v in dict_to_save.items():
+            f[k.replace("/", "-")] = np.asarray(v)
+
+
+def load_h5(filename: str) -> dict:
+    """Inverse of `save_h5` (reads .h5 via h5py or .npz)."""
+    if filename.endswith(".npz"):
+        data = np.load(filename)
+        return {k: np.asarray(data[k]) for k in data.files}
+    if h5py is None:
+        raise ImportError("h5py required for .h5 files")
+    out = {}
+    with h5py.File(filename, "r") as f:
+        f.visititems(lambda k, v: out.__setitem__(k, np.asarray(v))
+                     if isinstance(v, h5py.Dataset) else None)
+    return out
+
+
+def save_pose_submission(out_dir: str, bag_name: str, image_names: list,
+                         pred_extrinsics) -> str:
+    """Write one bag's predicted poses in IMC submission layout.
+
+    One h5 per bag with datasets ``pose_<image-stem>`` holding the (3, 4)
+    world->cam matrix (the IMC challenge scores relative poses, so the
+    frame-0-relative gauge our runner outputs is valid as-is).
+    Returns the written path.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    extr = np.asarray(pred_extrinsics, np.float64)
+    payload = {}
+    for name, E in zip(image_names, extr):
+        stem = os.path.splitext(os.path.basename(name))[0]
+        payload[f"pose_{stem}"] = E
+    ext = ".h5" if h5py is not None else ".npz"
+    path = os.path.join(out_dir, f"{bag_name}{ext}")
+    save_h5(payload, path)
+    return path
 
 
 def evaluate_bag(pred_extrinsics, gt_extrinsics):

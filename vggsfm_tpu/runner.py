@@ -14,6 +14,7 @@ configured budget and threads validity masks.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 import time
@@ -34,6 +35,22 @@ from vggsfm_tpu.ops.triangulation import triangulate_by_pair
 from vggsfm_tpu.sfm import SfmConfig, run_sfm
 from vggsfm_tpu.twoview import estimate_preliminary_cameras
 from vggsfm_tpu.utils.cache import enable_compilation_cache
+
+
+@contextlib.contextmanager
+def _stage(timings: dict, name: str, annotate: bool):
+    """Wall-clock a pipeline stage; add a profiler annotation when tracing.
+
+    Timings are host wall-clock (includes dispatch; honest device time
+    needs the captured trace — on a tunneled backend `block_until_ready`
+    does not drain the dispatch queue, so only transfers tell the truth).
+    """
+    t0 = time.time()
+    ctx = (jax.profiler.TraceAnnotation(name) if annotate
+           else contextlib.nullcontext())
+    with ctx:
+        yield
+    timings[name] = time.time() - t0
 
 
 def _score_camera_init(extr, intr, tracks, vis, fmat_mask):
@@ -74,6 +91,7 @@ class RunnerConfig:
     # midpoint query ranking instead of DINO-similarity FPS (reference
     # query_by_midpoint, cfgs/demo.yaml:62; DINO is the default path)
     query_by_midpoint: bool = False
+    profile_dir: str | None = None  # capture a JAX profiler trace here
     camera_type: str = "SIMPLE_PINHOLE"
     shared_camera: bool = False
     refine_focal: bool = True
@@ -442,69 +460,67 @@ class VGGSfMRunner:
         images = images[None]  # (1, S, R, R, 3)
         B, S, H, W, _ = images.shape
         timings = {}
+        prof = cfg.profile_dir is not None
+        if prof:
+            jax.profiler.start_trace(cfg.profile_dir)
 
         # 1. query frames (DINO-similarity FPS by default)
-        t0 = time.time()
-        query_indices = self.select_query_frames(images)
-        timings["query_rank"] = time.time() - t0
+        with _stage(timings, "query_rank", prof):
+            query_indices = self.select_query_frames(images)
 
         # 2. camera init — single resize to 336 inside the stage (the
         # reference resizes once too, camera_predictor.py:241-303);
         # ensembled over query orderings when avg_pose is on
-        t0 = time.time()
-        if cfg.avg_pose:
-            from vggsfm_tpu.utils.camera_avg import (
-                average_camera_prediction,
-            )
+        with _stage(timings, "camera_init", prof):
+            if cfg.avg_pose:
+                from vggsfm_tpu.utils.camera_avg import (
+                    average_camera_prediction,
+                )
 
-            extr0, intr0 = average_camera_prediction(
-                lambda im: self._camera_forward(im)["pred_pose_enc"],
-                images, (H, W), query_indices=query_indices)
-        else:
-            pose_enc = self._camera_forward(images)["pred_pose_enc"]
-            extr0, intr0 = pose_encoding_to_extri_intri(pose_enc[0], (H, W))
-        timings["camera_init"] = time.time() - t0
+                extr0, intr0 = average_camera_prediction(
+                    lambda im: self._camera_forward(im)["pred_pose_enc"],
+                    images, (H, W), query_indices=query_indices)
+            else:
+                pose_enc = self._camera_forward(images)["pred_pose_enc"]
+                extr0, intr0 = pose_encoding_to_extri_intri(
+                    pose_enc[0], (H, W))
 
         # 3. feature maps
-        t0 = time.time()
-        fmaps = self._fmaps(images)
-        timings["fmaps"] = time.time() - t0
+        with _stage(timings, "fmaps", prof):
+            fmaps = self._fmaps(images)
 
         # 4. tracking
-        t0 = time.time()
-        track, vis, score = self.predict_tracks(images, fmaps,
-                                                query_indices, masks)
-        if cfg.comple_nonvis:
-            track, vis, score = self._comple_nonvis(
-                images, fmaps, track, vis, score, masks)
-        timings["tracking"] = time.time() - t0
+        with _stage(timings, "tracking", prof):
+            track, vis, score = self.predict_tracks(images, fmaps,
+                                                    query_indices, masks)
+            if cfg.comple_nonvis:
+                track, vis, score = self._comple_nonvis(
+                    images, fmaps, track, vis, score, masks)
 
         # 5. preliminary two-view geometry
-        t0 = time.time()
-        pre = estimate_preliminary_cameras(
-            track, vis, W, H, jax.random.PRNGKey(cfg.seed + 1),
-            tracks_score=score if cfg.fine_tracking else None,
-            max_ransac_iters=1024, lo_num=128)
-        timings["preliminary"] = time.time() - t0
+        with _stage(timings, "preliminary", prof):
+            pre = estimate_preliminary_cameras(
+                track, vis, W, H, jax.random.PRNGKey(cfg.seed + 1),
+                tracks_score=score if cfg.fine_tracking else None,
+                max_ransac_iters=1024, lo_num=128)
 
         # 5b. choose the SfM camera initialization (neural vs two-view)
         extr_init, intr_init = self._choose_camera_init(
             extr0, intr0, pre, track, vis)
 
         # 6. SfM solve
-        t0 = time.time()
-        sfm_cfg = SfmConfig(
-            init_max_reproj_error=cfg.init_max_reproj_error,
-            max_reproj_error=cfg.max_reproj_error,
-            robust_refine=cfg.robust_refine,
-            ba_iters=cfg.ba_iters,
-            shared_camera=cfg.shared_camera,
-            refine_focal=cfg.refine_focal,
-            camera_type=cfg.camera_type)
-        out = run_sfm(extr_init, intr_init, track[0], vis[0], (W, H),
-                      fmat_inlier_mask=pre["fmat_inlier_mask"][0],
-                      score=score[0], cfg=sfm_cfg)
-        timings["sfm"] = time.time() - t0
+        with _stage(timings, "sfm", prof):
+            sfm_cfg = SfmConfig(
+                init_max_reproj_error=cfg.init_max_reproj_error,
+                max_reproj_error=cfg.max_reproj_error,
+                robust_refine=cfg.robust_refine,
+                ba_iters=cfg.ba_iters,
+                shared_camera=cfg.shared_camera,
+                refine_focal=cfg.refine_focal,
+                camera_type=cfg.camera_type)
+            out = run_sfm(extr_init, intr_init, track[0], vis[0], (W, H),
+                          fmat_inlier_mask=pre["fmat_inlier_mask"][0],
+                          score=score[0], cfg=sfm_cfg)
 
         # 7. colors + export
         colors = None
@@ -524,6 +540,10 @@ class VGGSfMRunner:
         if colors is not None:
             device_out["colors"] = colors
         host_out = jax.device_get(device_out)
+        if prof:
+            # stop after the host pull: the transfer drains the dispatch
+            # queue, so the trace ends with the true device timeline
+            jax.profiler.stop_trace()
         predictions = {
             **{k: None for k, v in out.items() if v is None},
             "colors": None,
