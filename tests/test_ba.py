@@ -154,3 +154,40 @@ class TestCost:
             jnp.asarray(intr[:, :2, 2]), None, jnp.asarray(X),
             jnp.asarray(tracks), jnp.asarray(mask, jnp.float32))
         assert float(c) < 1e-4
+
+    def test_behind_camera_costs_more_than_truth(self, rng):
+        """Flipping a camera so points go behind it must RAISE the cost.
+
+        Regression: the cost once zeroed behind-camera residuals, so LM
+        could reach a 'perfect' zero cost by flipping a camera until every
+        observation was behind it (82331a7).
+        """
+        extr, intr, X, tracks, mask = make_bundle(rng, N=50)
+        flipped = extr.copy()
+        # rotate camera 1 by 180 deg about x: z axis inverts, all points
+        # (z in [6, 10] ahead) land behind the camera
+        F = np.diag([1.0, -1.0, -1.0])
+        flipped[1, :, :3] = F @ flipped[1, :, :3]
+        flipped[1, :, 3] = F @ flipped[1, :, 3]
+
+        def cost(e):
+            return float(reprojection_cost(
+                jnp.asarray(e), jnp.asarray(intr[:, 0, 0]),
+                jnp.asarray(intr[:, :2, 2]), None, jnp.asarray(X),
+                jnp.asarray(tracks), jnp.asarray(mask, jnp.float32)))
+
+        assert cost(flipped) > cost(extr) + 1.0
+        # also under the robust losses the LM stages use
+        for loss in ("huber", "cauchy"):
+            cfg = BAConfig(robust_loss=loss, loss_scale=3.0)
+            c_true = float(reprojection_cost(
+                jnp.asarray(extr), jnp.asarray(intr[:, 0, 0]),
+                jnp.asarray(intr[:, :2, 2]), None, jnp.asarray(X),
+                jnp.asarray(tracks), jnp.asarray(mask, jnp.float32),
+                cfg=cfg))
+            c_flip = float(reprojection_cost(
+                jnp.asarray(flipped), jnp.asarray(intr[:, 0, 0]),
+                jnp.asarray(intr[:, :2, 2]), None, jnp.asarray(X),
+                jnp.asarray(tracks), jnp.asarray(mask, jnp.float32),
+                cfg=cfg))
+            assert c_flip > c_true + 1.0
