@@ -25,8 +25,35 @@ import numpy as np
 BASELINE_FPS = 8.0 / 20.0
 
 
+def _watchdog(seconds: float):
+    """Emit an explicit failure line if the device never responds.
+
+    The tunneled TPU backend can wedge (observed: a bare matmul blocking
+    indefinitely). A silent hang would leave the driver with no record at
+    all; this prints a value-0 JSON line naming the infra failure instead.
+    """
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "sparse_8frame_e2e_frames_per_s",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "detail": {"error": f"device unresponsive for {seconds:.0f}s "
+                                "(backend tunnel wedged?)"},
+        }), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
+
+    watchdog = _watchdog(45 * 60)
 
     from vggsfm_tpu.geometry.metrics import pose_auc30
     from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
@@ -68,6 +95,7 @@ def main():
     # recovered poses don't match the planted cameras, reports 0 and
     # exits nonzero — total pipeline failure can't masquerade as a perf
     # number
+    watchdog.cancel()
     ok = valid_tracks >= 100 and auc30 >= 0.5
     print(json.dumps({
         "metric": "sparse_8frame_e2e_frames_per_s",
