@@ -103,11 +103,11 @@ def run_scene(params, scene_dir, img_size, query_method, max_query_pts,
     if scene_dir:
         from vggsfm_tpu.datasets.demo_loader import DemoLoader
 
-        data = DemoLoader(scene_dir, img_size=img_size).get_data()
-        images = data["images"]
+        data = DemoLoader(scene_dir, img_size=img_size).load()
+        # sparse_reconstruct takes (S, R, R, 3) and batches internally
         out = runner.sparse_reconstruct(
-            images[None] if images.ndim == 4 else images,
-            masks=data.get("masks"), image_names=data["image_names"])
+            data["images"], masks=data.get("masks"),
+            image_names=data["image_names"])
     else:
         from vggsfm_tpu.utils.synth import render_two_plane_scene
 

@@ -89,7 +89,8 @@ class TestIMC:
         import json
         import sys
 
-        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
         import imc_eval
 
         root = make_imc_fixture(tmp_path)

@@ -138,3 +138,53 @@ class TestSparseBA:
         assert abs(f_out[0] - f_true) < 0.02 * f_true
         assert float(out[4]["final_cost"]) < 0.5 * \
             float(out[4]["initial_cost"])
+
+    def test_shared_intrinsics_unifies_divergent_focals(self, rng):
+        """Per-frame DIFFERENT focals must converge to one shared value.
+
+        Regression: the tying projector only ties the focal *step*, so
+        without up-front value unification pre-existing per-frame
+        differences persisted forever. Also covers the video case where
+        some frames carry zero (unset) intrinsics — they must not poison
+        the unified value.
+        """
+        extr, intr, X, tracks, mask = make_bundle(rng, S=5, N=200,
+                                                  noise_px=0.2)
+        f_true = intr[0, 0, 0]
+        intr_n = intr.copy()
+        factors = np.array([1.0, 1.08, 0.93, 1.04, 0.97])
+        intr_n[:, 0, 0] = intr_n[:, 1, 1] = f_true * factors
+        # frame 4: simulate an unregistered video frame (zero K, no obs)
+        intr_n[4] = 0.0
+        mask = mask.copy()
+        mask[4] = False
+
+        fr, pt, xy, w = dense_to_obs(tracks, mask)
+        cfg = SparseBAConfig(max_iterations=15, refine_focal=True,
+                             shared_intrinsics=True, cg_iters=60)
+        out = bundle_adjust_sparse(
+            jnp.asarray(extr), jnp.asarray(intr_n), jnp.asarray(X),
+            jnp.asarray(fr), jnp.asarray(pt), jnp.asarray(xy),
+            jnp.asarray(w), cfg=cfg)
+        f_out = np.asarray(out[1][:, 0, 0])
+        np.testing.assert_allclose(f_out, f_out[0], rtol=1e-6)
+        assert abs(f_out[0] - f_true) < 0.05 * f_true
+
+    def test_behind_camera_costs_more_than_truth(self, rng):
+        """Flipped camera must not reach zero cost (parity with lm.py fix)."""
+        extr, intr, X, tracks, mask = make_bundle(rng, S=4, N=60)
+        flipped = extr.copy()
+        F = np.diag([1.0, -1.0, -1.0])
+        flipped[1, :, :3] = F @ flipped[1, :, :3]
+        flipped[1, :, 3] = F @ flipped[1, :, 3]
+        fr, pt, xy, w = dense_to_obs(tracks, mask)
+        cfg = SparseBAConfig(max_iterations=1, refine_focal=False)
+
+        def initial_cost(e):
+            out = bundle_adjust_sparse(
+                jnp.asarray(e), jnp.asarray(intr), jnp.asarray(X),
+                jnp.asarray(fr), jnp.asarray(pt), jnp.asarray(xy),
+                jnp.asarray(w), cfg=cfg)
+            return float(out[4]["initial_cost"])
+
+        assert initial_cost(flipped) > initial_cost(extr) + 1.0

@@ -181,6 +181,66 @@ class TestCheckpointResume:
 
 @pytest.mark.slow
 class TestWindowRetry:
+    def test_camera_align_window_uses_fresh_anchors(self):
+        """PnP-anchored alignment of camera-predictor poses onto the map.
+
+        Regression: the window-fill path once anchored the SE3+scale fit
+        on the GLOBAL extrinsics rows of the window's new frames — which
+        are still zero at that point — instead of the fresh PnP results.
+        Here the predictor produces a similarity-transformed copy of the
+        true window poses; anchoring on the true poses of the ok frames
+        must recover the missing frames to the true poses too.
+        """
+        import jax.numpy as jnp
+
+        from vggsfm_tpu.geometry.cameras import (
+            extri_intri_to_pose_encoding,
+        )
+        from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+        from vggsfm_tpu.video import VideoConfig, VideoRunner
+
+        rng = np.random.default_rng(0)
+        Sw, R_img = 5, 64
+        f = float(R_img)
+        K = np.tile(np.array([[f, 0, R_img / 2], [0, f, R_img / 2],
+                              [0, 0, 1.0]], np.float32), (Sw, 1, 1))
+        # true window poses: small rotations + translations
+        true = np.zeros((Sw, 3, 4), np.float32)
+        for s in range(Sw):
+            a = 0.05 * s
+            Rm = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                           [-np.sin(a), 0, np.cos(a)]])
+            true[s, :, :3] = Rm
+            true[s, :, 3] = [0.3 * s, 0.02 * s, 0.1 * s + 1.0]
+
+        # predictor output = similarity-transformed true poses (gauge
+        # shift the alignment must undo): rotate world + scale trans
+        b = 0.4
+        Rg = np.array([[np.cos(b), -np.sin(b), 0],
+                       [np.sin(b), np.cos(b), 0], [0, 0, 1]], np.float32)
+        scale = 1.7
+        pred = true.copy()
+        for s in range(Sw):
+            pred[s, :, :3] = true[s, :, :3] @ Rg.T
+            pred[s, :, 3] = true[s, :, 3] * scale
+
+        scfg = RunnerConfig(img_size=R_img, query_method="harris",
+                            fine_tracking=False, comple_nonvis=False)
+        runner = VideoRunner(VGGSfMRunner(scfg), VideoConfig())
+        enc = extri_intri_to_pose_encoding(
+            jnp.asarray(pred), jnp.asarray(K), (R_img, R_img))
+        runner.r._camera_forward = lambda im: {
+            "pred_pose_enc": enc[None]}
+
+        anchors = np.array([True, True, False, True, False])
+        images_w = np.zeros((Sw, R_img, R_img, 3), np.float32)
+        aligned = runner._camera_align_window(
+            images_w, true, anchors, (R_img, R_img))
+        assert aligned is not None
+        # the non-anchor frames must land on their true poses
+        np.testing.assert_allclose(aligned[2], true[2], atol=1e-3)
+        np.testing.assert_allclose(aligned[4], true[4], atol=1e-3)
+
     def test_degenerate_window_recovers_by_step_back(self, tmp_path):
         """Tracking from one specific query frame fails completely (zero
         visibility) — the retry schedule must step the query frame back

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from vggsfm_tpu.ba.lm import (
+    _BEHIND_PENALTY_SQ,
     BAConfig,
     _apply_camera_delta,
     _delta_dim,
@@ -101,6 +102,26 @@ def bundle_adjust_sparse(
     X0 = points3d.astype(dtype)
     obs_xy = obs_xy.astype(dtype)
     w_obs = obs_weight.astype(dtype)
+
+    if cfg.shared_intrinsics:
+        # the tying projector acts on the *delta* (one shared logf/extra
+        # step), so the values must be unified up front or per-frame
+        # differences from earlier stages persist forever (same fix as
+        # the dense solver, lm.py). Only frames with a plausible focal
+        # vote: the video runner passes not-yet-registered frames whose
+        # K rows are still zero, which would poison a plain mean-log.
+        ok = (f0 > 1e-3).astype(dtype)
+        n_ok = jnp.maximum(jnp.sum(ok), 1.0)
+        logf = jnp.sum(jnp.where(ok > 0,
+                                 jnp.log(jnp.maximum(f0, 1e-6)), 0.0)) / n_ok
+        f0 = jnp.broadcast_to(jnp.exp(logf), f0.shape)
+        pp_mean = jnp.sum(pp0 * ok[:, None], axis=0,
+                          keepdims=True) / n_ok
+        pp0 = jnp.broadcast_to(pp_mean, pp0.shape)
+        if K:
+            k_mean = jnp.sum(k0 * ok[:, None], axis=0,
+                             keepdims=True) / n_ok
+            k0 = jnp.broadcast_to(k_mean, k0.shape)
 
     if pose_free is None:
         pose_free = jnp.arange(S) != 0
@@ -251,8 +272,13 @@ def bundle_adjust_sparse(
                                    params["f"][s], params["pp"][s],
                                    params["k"][s], params["X"][j])
             r = proj - xy
-            sq = jnp.sum(r * r)
-            return sq * (_robust_sqrt_weight(sq, cfg) ** 2) * w * (z > 0)
+            # behind-camera observations must COST, not vanish — else an
+            # LM step that flips a camera zeroes its residuals and is
+            # accepted as an improvement (same fix as lm.py)
+            sq = jnp.where(z > 0,
+                           jnp.minimum(jnp.sum(r * r), _BEHIND_PENALTY_SQ),
+                           _BEHIND_PENALTY_SQ)
+            return sq * (_robust_sqrt_weight(sq, cfg) ** 2) * w
         c = jnp.sum(jax.vmap(one)(obs_frame, obs_point, obs_xy, w_obs))
         return jax.lax.psum(c, axis_name) if axis_name else c
 

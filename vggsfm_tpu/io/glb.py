@@ -176,6 +176,11 @@ def reconstruction_to_glb(predictions, path, image_size=None,
     cameras as frusta.
     """
     valid = np.asarray(predictions["valid_tracks"])
+    if conf_thresh > 0.0 and predictions.get("pred_score") is not None:
+        score = np.asarray(predictions["pred_score"])
+        # (B, S, N) confidence -> per-track mean over frames
+        conf = score.reshape(-1, score.shape[-1]).mean(axis=0)
+        valid = valid & (conf >= conf_thresh)
     pts = np.asarray(predictions["points3d"])[valid]
     colors = predictions.get("colors")
     if colors is not None:

@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from vggsfm_tpu.models.sampling import subpixel_parabola
+
 
 def extract_patches(images: jax.Array, centers: jax.Array, pradius: int):
     """Gather psize x psize patches at integer-floored window corners.
@@ -138,16 +140,7 @@ def ncc_subpixel_refine(images: jax.Array, coords: jax.Array,
         return jnp.take_along_axis(ncc, (yy * osz + xx)[..., None],
                                    axis=-1)[..., 0]
 
-    c0 = val(0, 0)
-
-    def parabola(cm, cp):
-        denom = cm + cp - 2.0 * c0
-        off = 0.5 * (cm - cp) / jnp.where(jnp.abs(denom) < 1e-12, 1.0,
-                                          denom)
-        return jnp.clip(off, -0.5, 0.5)
-
-    sub_x = parabola(val(0, -1), val(0, 1))
-    sub_y = parabola(val(-1, 0), val(1, 0))
+    sub_x, sub_y, c0 = subpixel_parabola(val)
     out = jnp.stack(
         [base[..., 0] + (bx - search) + sub_x,
          base[..., 1] + (by - search) + sub_y], axis=-1)

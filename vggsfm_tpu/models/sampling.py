@@ -96,3 +96,27 @@ def interpolate_bilinear(x: jax.Array, out_hw, align_corners: bool = True):
     Mx = _interp_matrix(W, w, align_corners, x.dtype)
     out = jnp.einsum("oh,bhwc->bowc", My, x)
     return jnp.einsum("pw,bowc->bopc", Mx, out)
+
+
+def subpixel_parabola(val):
+    """Sub-pixel offsets from a 1D parabola fit around an argmax.
+
+    `val(dy, dx)` reads the score at the integer offset (dy, dx) from the
+    peak (callers supply the indexing for their own layout). Returns
+    (off_x, off_y, peak_value); offsets are clipped to +/-0.5 and a flat
+    3-neighborhood (denominator ~0) yields offset 0 via the guard.
+
+    Shared by the weights-free matching-init peak refinement
+    (models/tracker.py) and the NCC fine refinement (models/refine.py).
+    """
+    c0 = val(0, 0)
+
+    def parabola(cm, cp):
+        denom = cm + cp - 2.0 * c0
+        off = 0.5 * (cm - cp) / jnp.where(jnp.abs(denom) < 1e-12, 1.0,
+                                          denom)
+        return jnp.clip(off, -0.5, 0.5)
+
+    off_x = parabola(val(0, -1), val(0, 1))
+    off_y = parabola(val(-1, 0), val(1, 0))
+    return off_x, off_y, c0

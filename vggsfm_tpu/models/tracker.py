@@ -34,6 +34,7 @@ from vggsfm_tpu.models.sampling import (
     bilinear_sample,
     interpolate_bilinear,
     sample_features4d,
+    subpixel_parabola,
 )
 
 
@@ -214,16 +215,7 @@ def global_match_coords(fmaps: jax.Array, query_feats: jax.Array,
             return jnp.take_along_axis(flat, (yy * W + xx)[..., None],
                                        axis=-1)[..., 0]
 
-        c0 = val(0, 0)
-
-        def parabola(cm, cp):
-            denom = cm + cp - 2.0 * c0
-            off = 0.5 * (cm - cp) / jnp.where(jnp.abs(denom) < 1e-12, 1.0,
-                                              denom)
-            return jnp.clip(off, -0.5, 0.5)
-
-        off_x = parabola(val(0, -1), val(0, 1))
-        off_y = parabola(val(-1, 0), val(1, 0))
+        off_x, off_y, c0 = subpixel_parabola(val)
         xy = jnp.stack([ix + off_x, iy + off_y],
                        axis=-1).astype(jnp.float32)
         return xy, c0

@@ -185,13 +185,13 @@ class VGGSfMRunner:
     # jitted stages
     # ------------------------------------------------------------------
 
-    def _stage(self, name, fn):
+    def _jitted(self, name, fn):
         if name not in self._jit_cache:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
     def _fmaps(self, images):
-        fn = self._stage("fmaps", lambda p, im: self.tracker.apply(
+        fn = self._jitted("fmaps", lambda p, im: self.tracker.apply(
             p, im, method="process_images_to_fmaps"))
         return fn(self.params["tracker"], images)
 
@@ -207,7 +207,7 @@ class VGGSfMRunner:
                     qq, ff, iters=iters, down_ratio=dr,
                     matching_init=minit, matching_vis=mvis))
             return preds[-1], vis
-        return self._stage("coarse", fn)(params, fmaps, qp)
+        return self._jitted("coarse", fn)(params, fmaps, qp)
 
     def _fine_track(self, images, coarse):
         minit = self.cfg.matching_init
@@ -228,10 +228,10 @@ class VGGSfMRunner:
             return refine_track(im, fnet, ftrack, tr, compute_score=True,
                                 matching_init=minit,
                                 subpixel_refine=subpix)
-        return self._stage("fine", fn)(params, images, coarse)
+        return self._jitted("fine", fn)(params, images, coarse)
 
     def _camera_forward(self, images):
-        fn = self._stage("camera", lambda p, im: self.camera.apply(
+        fn = self._jitted("camera", lambda p, im: self.camera.apply(
             p, im, iters=4))
         return fn(self.params["camera"], images)
 
@@ -280,7 +280,7 @@ class VGGSfMRunner:
             d = model.apply(p, x)
             return interpolate_bilinear(d[..., None], (H, W))[..., 0]
 
-        step = self._stage("dpt", fn)
+        step = self._jitted("dpt", fn)
         # lax.map via per-frame host loop: keeps peak memory at one ViT
         # forward; frames are independent
         return jnp.concatenate(
@@ -298,7 +298,7 @@ class VGGSfMRunner:
         from vggsfm_tpu.utils.depth import align_depth_maps_to_sfm
 
         disp = self._disparity(images)
-        align = self._stage("depth_align", align_depth_maps_to_sfm)
+        align = self._jitted("depth_align", align_depth_maps_to_sfm)
         obs = (jnp.asarray(predictions["valid_2d_mask"])
                & jnp.asarray(predictions["valid_tracks"])[None])
         depth_maps, a, b, inl = align(
@@ -348,7 +348,7 @@ class VGGSfMRunner:
                 os.path.join(depth_dir, stem + ".bin"), dmap)
 
     def _frame_descriptors(self, images):
-        fn = self._stage("dino_desc", lambda p, im: self.camera.apply(
+        fn = self._jitted("dino_desc", lambda p, im: self.camera.apply(
             p, im, method="frame_descriptors"))
         return fn(self.params["camera"], images)
 
@@ -462,6 +462,13 @@ class VGGSfMRunner:
         timings = {}
         prof = cfg.profile_dir is not None
         if prof:
+            try:
+                # an exception mid-pipeline on a previous call leaves the
+                # profiler active; clear it so one failed scene doesn't
+                # make every later profiled run raise "already active"
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
             jax.profiler.start_trace(cfg.profile_dir)
 
         # 1. query frames (DINO-similarity FPS by default)
@@ -590,7 +597,7 @@ class VGGSfMRunner:
             return extr_tv, intr_tv
         if cfg.camera_init != "hybrid":
             raise ValueError(f"unknown camera_init {cfg.camera_init}")
-        score_fn = self._stage("caminit_score", _score_camera_init)
+        score_fn = self._jitted("caminit_score", _score_camera_init)
         fmask = pre["fmat_inlier_mask"][0]
         s_neural = int(score_fn(extr_neural, intr_neural, track[0], vis[0],
                                 fmask))

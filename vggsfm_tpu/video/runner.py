@@ -331,8 +331,15 @@ class VideoRunner:
             # query pose
             fill = np.repeat(extrinsics[q][None], Sw - 1, 0)
             if not ok.all() and cfg.align_with_camera_predictor:
+                # anchor poses must be the CURRENT estimates: the query's
+                # registered pose + this window's fresh PnP results. The
+                # global `extrinsics` rows for new frames are still unset
+                # (zeros) at this point — aligning against them would fit
+                # the similarity to garbage.
+                anchor_extr = np.concatenate(
+                    [extrinsics[q][None], extr_new], axis=0)
                 aligned = self._camera_align_window(
-                    images[frames_w], extrinsics[frames_w],
+                    images[frames_w], anchor_extr,
                     np.concatenate([[True], ok]), (W, H))
                 if aligned is not None:
                     fill = aligned[1:]
