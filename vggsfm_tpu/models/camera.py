@@ -13,6 +13,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vggsfm_tpu.models.dinov2 import DinoVisionTransformer
 from vggsfm_tpu.models.embeddings import (
@@ -22,8 +23,12 @@ from vggsfm_tpu.models.embeddings import (
 from vggsfm_tpu.models.layers import AttnBlock, CrossAttnBlock, Mlp
 from vggsfm_tpu.models.sampling import interpolate_bilinear
 
-_RESNET_MEAN = jnp.array([0.485, 0.456, 0.406])
-_RESNET_STD = jnp.array([0.229, 0.224, 0.225])
+# numpy on purpose: a module-level jnp.array materializes on the default
+# device at IMPORT time (an upload per process; a hang if the backend
+# tunnel is unreachable). jnp ops accept numpy operands and fold these
+# into the compiled graph as constants.
+_RESNET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_RESNET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 class CameraPredictor(nn.Module):
