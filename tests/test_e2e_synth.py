@@ -100,5 +100,8 @@ class TestEndToEndSynth:
             jnp.asarray(out["extrinsics"]),
             jnp.asarray(scene["extrinsics"]))
         r_med = float(np.median(np.asarray(r_err)[np.asarray(mask)]))
-        assert auc > 0.4, f"pose AUC@30 too low: {auc} (rot med {r_med})"
-        assert r_med < 5.0, f"median relative rotation error {r_med} deg"
+        # thresholds reflect the post-82331a7 quality floor (measured
+        # auc 0.97, r_med 0.43 on CPU f32) with headroom for RNG drift —
+        # a pose-refinement regression to the old 0.66-0.73 regime fails
+        assert auc > 0.85, f"pose AUC@30 too low: {auc} (rot med {r_med})"
+        assert r_med < 1.5, f"median relative rotation error {r_med} deg"
