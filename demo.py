@@ -33,6 +33,13 @@ def parse_args(argv):
     p.add_argument("--glb", action="store_true",
                    help="write OUT/scene.glb (point cloud + camera "
                         "frusta, viewable in any glTF viewer)")
+    p.add_argument("--extra-pt-pixel-interval", type=int, default=-1,
+                   help="densify: one extra grid point per N pixels, "
+                        "tracked + triangulated without BA; writes "
+                        "OUT/additional_points.npz (<=0 disables)")
+    p.add_argument("--concat-extra-points", action="store_true",
+                   help="also append the extra points (trackless) to the "
+                        "exported COLMAP model")
     p.add_argument("--camera-type", default="SIMPLE_PINHOLE",
                    choices=["SIMPLE_PINHOLE", "SIMPLE_RADIAL"])
     p.add_argument("--shared-camera", action="store_true")
@@ -70,6 +77,8 @@ def main(argv=None):
         make_glb=args.glb,
         seed=args.seed,
         profile_dir=args.profile_dir,
+        extra_pt_pixel_interval=args.extra_pt_pixel_interval,
+        concat_extra_points=args.concat_extra_points,
     )
     if args.config:
         import dataclasses

@@ -168,3 +168,39 @@ class TestExtraPoints:
         assert out["points3d"].shape[0] == out["valid"].shape[0]
         assert out["tracks"].shape[0] == S
         assert out["colors"].shape[1] == 3
+
+    def test_extra_points_pipeline_and_export(self, tmp_path):
+        """extra_pt_pixel_interval wires densification into the pipeline:
+        predictions carry additional_points, the export writes the npz,
+        and concat_extra_points appends trackless points to the model."""
+        from vggsfm_tpu.io import read_model
+        from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+
+        rng2 = np.random.default_rng(4)
+        S, R = 3, 128
+        images = rng2.uniform(size=(S, R, R, 3)).astype(np.float32)
+        cfg = RunnerConfig(img_size=R, query_frame_num=1, max_query_pts=64,
+                           query_method="harris", fine_tracking=False,
+                           comple_nonvis=False, robust_refine=0, ba_iters=1,
+                           extra_pt_pixel_interval=16,
+                           concat_extra_points=True)
+        runner = VGGSfMRunner(cfg)
+        out_dir = str(tmp_path / "out")
+        os.makedirs(out_dir, exist_ok=True)
+        preds = runner.sparse_reconstruct(
+            images, image_names=[f"f{i}.png" for i in range(S)],
+            output_dir=out_dir)
+        extra = preds["additional_points"]
+        assert extra is not None and "extra_points" in preds["timings"]
+        assert extra["points3d"].shape[0] == (128 // 16) ** 2
+
+        npz = np.load(os.path.join(out_dir, "additional_points.npz"))
+        assert npz["additional_points_num"] == int(extra["valid"].sum())
+
+        rec = read_model(os.path.join(out_dir, "sparse"))
+        n_sfm = int((preds["valid_tracks"]).sum())
+        assert len(rec.points3D) == n_sfm + int(extra["valid"].sum())
+        # appended points are trackless
+        trackless = [p for p in rec.points3D.values()
+                     if len(p.image_ids) == 0]
+        assert len(trackless) >= int(extra["valid"].sum())

@@ -106,6 +106,13 @@ class RunnerConfig:
     # see models/tracker.py:global_match_coords). With converted reference
     # weights this can be disabled for exact reference-parity behavior.
     matching_init: bool = True
+    # grid-point densification: one extra query point every N pixels,
+    # tracked + triangulated without BA (reference extra_pt_pixel_interval
+    # + concat_extra_points, cfgs/demo.yaml:65-66, runner.py:517-560).
+    # <= 0 disables (the reference default).
+    extra_pt_pixel_interval: int = -1
+    # append the extra points (trackless) to the exported COLMAP model
+    concat_extra_points: bool = False
     # SfM camera initialization: 'neural' (camera predictor, the reference's
     # only mode), 'twoview' (chained essential-matrix poses from the
     # preliminary estimator), or 'hybrid' (score both by init-pair support
@@ -558,6 +565,17 @@ class VGGSfMRunner:
             "timings": timings,
             "total_time": time.time() - t_start,
         }
+        if cfg.extra_pt_pixel_interval > 0:
+            # one grid point per interval^2 pixel cell (reference
+            # runner.py:650-660 builds the same pixel-interval grid)
+            with _stage(timings, "extra_points", prof):
+                num_extra = max(1, (H // cfg.extra_pt_pixel_interval)
+                                * (W // cfg.extra_pt_pixel_interval))
+                predictions["additional_points"] = \
+                    self.triangulate_extra_points(
+                        images, fmaps, predictions["extrinsics"],
+                        predictions["intrinsics"], num_extra=num_extra)
+            predictions["total_time"] = time.time() - t_start
         if cfg.dense_depth:
             t0 = time.time()
             self.dense_reconstruct(images, predictions)
@@ -704,6 +722,35 @@ class VGGSfMRunner:
             colors=(None if colors is None
                     else np.clip(colors * 255, 0, 255).astype(np.uint8)),
         )
+        extra = predictions.get("additional_points")
+        if extra is not None:
+            # persist the densified grid points (reference saves
+            # additional_points_dict.pt, runner.py:244-247; npz here)
+            os.makedirs(output_dir, exist_ok=True)
+            np.savez_compressed(
+                os.path.join(output_dir, "additional_points.npz"),
+                points3d=extra["points3d"][extra["valid"]],
+                colors=extra["colors"][extra["valid"]],
+                sfm_points_num=int(valid.sum()),
+                additional_points_num=int(extra["valid"].sum()))
+            if self.cfg.concat_extra_points:
+                # trackless points appended to the model (reference
+                # add_point3D with an empty Track, runner.py:549-560)
+                from vggsfm_tpu.io.colmap import Point3D
+
+                next_id = (max(rec.points3D) + 1) if rec.points3D else 1
+                rgb255 = np.clip(extra["colors"] * 255, 0,
+                                 255).astype(np.uint8)
+                for xyz, rgb, ok in zip(extra["points3d"], rgb255,
+                                        extra["valid"]):
+                    if not ok:
+                        continue
+                    rec.points3D[next_id] = Point3D(
+                        id=next_id, xyz=np.asarray(xyz, np.float64),
+                        rgb=rgb, error=0.0,
+                        image_ids=np.zeros((0,), np.int32),
+                        point2D_idxs=np.zeros((0,), np.int32))
+                    next_id += 1
         if crop_params is not None:
             from vggsfm_tpu.io.bridge import (
                 rescale_reconstruction_to_original,
