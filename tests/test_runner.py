@@ -121,6 +121,39 @@ class TestRunnerSmoke:
         rec = read_model(os.path.join(out_dir, "sparse"))
         assert len(rec.images) == S
 
+    def test_filter_invalid_frame_export(self, tmp_path):
+        """Frames failing the validity window are deregistered from the
+        exported model, and crop-param rescale stays aligned by image id
+        across the holes (parity: reference filter_invalid_frame)."""
+        from vggsfm_tpu.io import read_model
+        from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+
+        rng = np.random.default_rng(1)
+        S, R = 3, 128
+        images = rng.uniform(size=(S, R, R, 3)).astype(np.float32)
+        cfg = RunnerConfig(img_size=R, query_frame_num=1, max_query_pts=64,
+                           query_method="harris", fine_tracking=False,
+                           comple_nonvis=False, robust_refine=0, ba_iters=1)
+        runner = VGGSfMRunner(cfg)
+        preds = runner.sparse_reconstruct(images)
+        # force frame 1 invalid and export
+        preds["valid_frame_mask"] = np.array([True, False, True])
+        names = [f"f{i}.png" for i in range(S)]
+        crop = np.tile(
+            np.array([160.0, 120.0, 2.0, 1.0, 0, -20, 160, 140],
+                     np.float32), (S, 1))
+        out_dir = str(tmp_path / "out")
+        os.makedirs(out_dir, exist_ok=True)
+        runner.save_reconstruction(preds, (R, R), names, out_dir,
+                                   crop_params=crop)
+        rec = read_model(os.path.join(out_dir, "sparse"))
+        assert sorted(rec.images) == [1, 3]
+        # id-indexed metadata: image 3 keeps its own name
+        assert rec.images[3].name == "f2.png"
+        # no surviving point observes the dropped frame
+        for p in rec.points3D.values():
+            assert 2 not in set(int(i) for i in p.image_ids)
+
     def test_profiler_trace_capture(self, tmp_path):
         """profile_dir captures a JAX profiler trace with stage markers."""
         import glob

@@ -198,7 +198,10 @@ def rescale_reconstruction_to_original(
     """
     crop_params = np.asarray(crop_params, np.float64)
     rescale_camera = True
-    for s, im_id in enumerate(sorted(rec.images)):
+    for im_id in sorted(rec.images):
+        # index metadata by image id, not enumeration position — the
+        # model may have had invalid frames deregistered, leaving holes
+        s = im_id - 1
         image = rec.images[im_id]
         camera = rec.cameras[image.camera_id]
         if image_names is not None:

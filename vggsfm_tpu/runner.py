@@ -113,6 +113,9 @@ class RunnerConfig:
     extra_pt_pixel_interval: int = -1
     # append the extra points (trackless) to the exported COLMAP model
     concat_extra_points: bool = False
+    # drop frames whose camera failed the validity window from the
+    # exported model (reference filter_invalid_frame, cfgs/demo.yaml:18)
+    filter_invalid_frame: bool = True
     # SfM camera initialization: 'neural' (camera predictor, the reference's
     # only mode), 'twoview' (chained essential-matrix poses from the
     # preliminary estimator), or 'hybrid' (score both by init-pair support
@@ -707,6 +710,12 @@ class VGGSfMRunner:
         crop_params are given. Parity: runner.py:887-911 + :1009-1052."""
         valid = predictions["valid_tracks"]
         obs = predictions["valid_2d_mask"] & valid[None]
+        valid_frames = predictions.get("valid_frame_mask")
+        if self.cfg.filter_invalid_frame and valid_frames is not None:
+            # drop invalid frames' observations so no point track
+            # references a frame about to be deregistered (parity:
+            # runner.py:565-575 reconstruction.deregister_image)
+            obs = obs & np.asarray(valid_frames)[:, None]
         colors = predictions["colors"]
         rec = arrays_to_reconstruction(
             predictions["points3d"],
@@ -722,6 +731,9 @@ class VGGSfMRunner:
             colors=(None if colors is None
                     else np.clip(colors * 255, 0, 255).astype(np.uint8)),
         )
+        if self.cfg.filter_invalid_frame and valid_frames is not None:
+            for s in np.nonzero(~np.asarray(valid_frames))[0]:
+                rec.images.pop(int(s) + 1, None)
         extra = predictions.get("additional_points")
         if extra is not None:
             # persist the densified grid points (reference saves
