@@ -37,6 +37,9 @@ def parse_args(argv):
                    help="densify: one extra grid point per N pixels, "
                         "tracked + triangulated without BA; writes "
                         "OUT/additional_points.npz (<=0 disables)")
+    p.add_argument("--extra-by-neighbor", type=int, default=-1,
+                   help="track each frame's extra grid only into this "
+                        "many neighbor frames (<=0: all frames)")
     p.add_argument("--concat-extra-points", action="store_true",
                    help="also append the extra points (trackless) to the "
                         "exported COLMAP model")
@@ -78,6 +81,7 @@ def main(argv=None):
         seed=args.seed,
         profile_dir=args.profile_dir,
         extra_pt_pixel_interval=args.extra_pt_pixel_interval,
+        extra_by_neighbor=args.extra_by_neighbor,
         concat_extra_points=args.concat_extra_points,
     )
     if args.config:

@@ -197,9 +197,10 @@ class TestExtraPoints:
         intr = np.tile(np.array([[128.0, 0, 64], [0, 128, 64], [0, 0, 1]],
                                 np.float32), (S, 1, 1))
         out = runner.triangulate_extra_points(
-            images, fmaps, extr, intr, num_extra=64)
+            images, fmaps, extr, intr, num_extra=64, by_neighbor=2)
         assert out["points3d"].shape[0] == out["valid"].shape[0]
-        assert out["tracks"].shape[0] == S
+        # every frame queries its own grid
+        assert set(out["query_frame"]) == set(range(S))
         assert out["colors"].shape[1] == 3
 
     def test_extra_points_pipeline_and_export(self, tmp_path):
@@ -225,7 +226,7 @@ class TestExtraPoints:
             output_dir=out_dir)
         extra = preds["additional_points"]
         assert extra is not None and "extra_points" in preds["timings"]
-        assert extra["points3d"].shape[0] == (128 // 16) ** 2
+        assert extra["points3d"].shape[0] == S * (128 // 16) ** 2
 
         npz = np.load(os.path.join(out_dir, "additional_points.npz"))
         assert npz["additional_points_num"] == int(extra["valid"].sum())

@@ -97,6 +97,10 @@ class RunnerConfig:
     refine_focal: bool = True
     robust_refine: int = 2
     ba_iters: int = 2
+    # epipolar (Sampson) inlier threshold for the preliminary two-view
+    # fundamental estimation, in px (reference fmat_thres,
+    # cfgs/demo.yaml:19, runners/runner.py:484)
+    fmat_thres: float = 0.5
     max_reproj_error: float = 4.0
     init_max_reproj_error: float = 0.5
     seed: int = 0
@@ -113,6 +117,9 @@ class RunnerConfig:
     extra_pt_pixel_interval: int = -1
     # append the extra points (trackless) to the exported COLMAP model
     concat_extra_points: bool = False
+    # track each frame's extra grid only into a window of this many
+    # neighbor frames (reference extra_by_neighbor; <= 0 = all frames)
+    extra_by_neighbor: int = -1
     # drop frames whose camera failed the validity window from the
     # exported model (reference filter_invalid_frame, cfgs/demo.yaml:18)
     filter_invalid_frame: bool = True
@@ -519,6 +526,7 @@ class VGGSfMRunner:
             pre = estimate_preliminary_cameras(
                 track, vis, W, H, jax.random.PRNGKey(cfg.seed + 1),
                 tracks_score=score if cfg.fine_tracking else None,
+                max_error=cfg.fmat_thres,
                 max_ransac_iters=1024, lo_num=128)
 
         # 5b. choose the SfM camera initialization (neural vs two-view)
@@ -577,7 +585,8 @@ class VGGSfMRunner:
                 predictions["additional_points"] = \
                     self.triangulate_extra_points(
                         images, fmaps, predictions["extrinsics"],
-                        predictions["intrinsics"], num_extra=num_extra)
+                        predictions["intrinsics"], num_extra=num_extra,
+                        by_neighbor=cfg.extra_by_neighbor)
             predictions["total_time"] = time.time() - t_start
         if cfg.dense_depth:
             t0 = time.time()
@@ -670,39 +679,65 @@ class VGGSfMRunner:
         return track, vis, score
 
     def triangulate_extra_points(self, images, fmaps, extrinsics,
-                                 intrinsics, num_extra: int = 4096):
-        """Densify: grid query points tracked + triangulated, no BA.
+                                 intrinsics, num_extra: int = 4096,
+                                 by_neighbor: int = -1):
+        """Densify: per-frame grid points tracked + triangulated, no BA.
 
-        Parity: runner.py:635-742 (`triangulate_extra_points`).
-        Returns dict with ``points3d (N,3)``, ``valid (N,)``,
-        ``tracks (S,N,2)``, ``colors (N,3)``.
+        Parity: runner.py:635-742 (`triangulate_extra_points`): every
+        frame queries its own pixel grid, tracked over a neighbor window
+        of `by_neighbor` frames (`sample_subrange`; <= 0 = all frames),
+        then LORANSAC-triangulated against the refined cameras. The
+        window length is fixed per call so the tracker compiles once.
+
+        Returns dict with ``points3d (S*N, 3)``, ``valid (S*N,)``,
+        ``colors (S*N, 3)``, ``query_frame (S*N,)``.
         """
         from vggsfm_tpu.extractors.dispatch import grid_keypoints
         from vggsfm_tpu.geometry.cameras import cam_from_img
         from vggsfm_tpu.ops.triangulation import triangulate_tracks
 
         B, S, H, W, _ = images.shape
+        extrinsics = np.asarray(extrinsics)
+        intrinsics = np.asarray(intrinsics)
         qp = grid_keypoints(H, W, num_extra)[None]
         chunk = max(256, self.cfg.max_points_num // S)
-        tr_all, vis_all = [], []
-        for start in range(0, qp.shape[1], chunk):
-            t, v = self._coarse_track(fmaps, qp[:, start: start + chunk])
-            tr_all.append(t)
-            vis_all.append(v)
-        tr = jnp.concatenate(tr_all, axis=2)[0]
-        vi = jnp.concatenate(vis_all, axis=2)[0]
+        L = S if by_neighbor <= 0 else max(2, min(S, by_neighbor))
 
-        tn = cam_from_img(tr, intrinsics)
-        pts, inl_num, _ = triangulate_tracks(
-            jnp.asarray(extrinsics), tn, track_vis=vi,
-            max_ransac_iters=64, seed=7)
-        valid = inl_num >= 3
-        colors = sample_features4d(images[0], tr)
-        w = (vi > 0.05).astype(jnp.float32)[..., None]
-        rgb = jnp.sum(colors * w, axis=0) / jnp.maximum(
-            jnp.sum(w, axis=0), 1)
-        return {"points3d": np.asarray(pts), "valid": np.asarray(valid),
-                "tracks": np.asarray(tr), "colors": np.asarray(rgb)}
+        all_pts, all_valid, all_rgb, all_src = [], [], [], []
+        for q in range(S):
+            n0 = 0 if L == S else int(np.clip(q - L // 2, 0, S - L))
+            order = np.arange(n0, n0 + L)
+            rel_q = q - n0
+            order[0], order[rel_q] = order[rel_q], order[0]
+            fmaps_q = fmaps[:, order]
+
+            tr_all, vis_all = [], []
+            for start in range(0, qp.shape[1], chunk):
+                t, v = self._coarse_track(fmaps_q,
+                                          qp[:, start: start + chunk])
+                tr_all.append(t)
+                vis_all.append(v)
+            tr = jnp.concatenate(tr_all, axis=2)[0]  # (L, N, 2)
+            vi = jnp.concatenate(vis_all, axis=2)[0]
+
+            intr_w = jnp.asarray(intrinsics[order])
+            tn = cam_from_img(tr, intr_w)
+            pts, inl_num, _ = triangulate_tracks(
+                jnp.asarray(extrinsics[order]), tn, track_vis=vi,
+                max_ransac_iters=64, seed=7 + q)
+            colors = sample_features4d(images[0, order], tr)
+            w = (vi > 0.05).astype(jnp.float32)[..., None]
+            rgb = jnp.sum(colors * w, axis=0) / jnp.maximum(
+                jnp.sum(w, axis=0), 1)
+            all_pts.append(np.asarray(pts))
+            all_valid.append(np.asarray(inl_num >= 3))
+            all_rgb.append(np.asarray(rgb))
+            all_src.append(np.full(qp.shape[1], q, np.int32))
+
+        return {"points3d": np.concatenate(all_pts),
+                "valid": np.concatenate(all_valid),
+                "colors": np.concatenate(all_rgb),
+                "query_frame": np.concatenate(all_src)}
 
     def save_reconstruction(self, predictions, image_size, image_names,
                             output_dir, crop_params=None):
