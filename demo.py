@@ -30,6 +30,10 @@ def parse_args(argv):
                         "OUT/depths/*.bin (COLMAP array format)")
     p.add_argument("--depth-checkpoint", default=None,
                    help="DepthAnythingV2 torch checkpoint (optional)")
+    p.add_argument("--visual-tracks", action="store_true",
+                   help="write track overlays (PNGs + GIF) to OUT/visuals")
+    p.add_argument("--reproj-frames", action="store_true",
+                   help="write reprojection overlays to OUT/visuals")
     p.add_argument("--glb", action="store_true",
                    help="write OUT/scene.glb (point cloud + camera "
                         "frusta, viewable in any glTF viewer)")
@@ -78,6 +82,8 @@ def main(argv=None):
         dense_depth=args.dense_depth,
         depth_checkpoint=args.depth_checkpoint,
         make_glb=args.glb,
+        visual_tracks=args.visual_tracks,
+        make_reproj_frames=args.reproj_frames,
         seed=args.seed,
         profile_dir=args.profile_dir,
         extra_pt_pixel_interval=args.extra_pt_pixel_interval,

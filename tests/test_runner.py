@@ -154,6 +154,28 @@ class TestRunnerSmoke:
         for p in rec.points3D.values():
             assert 2 not in set(int(i) for i in p.image_ids)
 
+    def test_visualization_outputs(self, tmp_path):
+        """visual_tracks / make_reproj_frames write overlays on export."""
+        from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+
+        rng = np.random.default_rng(2)
+        S, R = 2, 128
+        images = rng.uniform(size=(S, R, R, 3)).astype(np.float32)
+        cfg = RunnerConfig(img_size=R, query_frame_num=1, max_query_pts=64,
+                           query_method="harris", fine_tracking=False,
+                           comple_nonvis=False, robust_refine=0, ba_iters=1,
+                           visual_tracks=True, make_reproj_frames=True)
+        runner = VGGSfMRunner(cfg)
+        out_dir = str(tmp_path / "out")
+        os.makedirs(out_dir, exist_ok=True)
+        runner.sparse_reconstruct(
+            images, image_names=[f"f{i}.png" for i in range(S)],
+            output_dir=out_dir)
+        vdir = os.path.join(out_dir, "visuals")
+        assert os.path.exists(os.path.join(vdir, "tracks_0000.png"))
+        assert os.path.exists(os.path.join(vdir, "tracks.gif"))
+        assert os.path.exists(os.path.join(vdir, "reproj_0001.png"))
+
     def test_profiler_trace_capture(self, tmp_path):
         """profile_dir captures a JAX profiler trace with stage markers."""
         import glob

@@ -123,6 +123,12 @@ class RunnerConfig:
     # drop frames whose camera failed the validity window from the
     # exported model (reference filter_invalid_frame, cfgs/demo.yaml:18)
     filter_invalid_frame: bool = True
+    # write track overlays (PNG per frame + GIF) to OUT/visuals
+    # (reference visual_tracks, cfgs/demo.yaml:35)
+    visual_tracks: bool = False
+    # write reprojection overlays to OUT/visuals (reference
+    # make_reproj_video; PNG frames — no video codec in this env)
+    make_reproj_frames: bool = False
     # SfM camera initialization: 'neural' (camera predictor, the reference's
     # only mode), 'twoview' (chained essential-matrix poses from the
     # preliminary estimator), or 'hybrid' (score both by init-pair support
@@ -606,6 +612,24 @@ class VGGSfMRunner:
                 reconstruction_to_glb(
                     predictions, os.path.join(output_dir, "scene.glb"),
                     image_size=(W, H))
+            if cfg.visual_tracks or cfg.make_reproj_frames:
+                from vggsfm_tpu.utils.visualizer import (
+                    visualize_reprojections,
+                    visualize_tracks,
+                )
+
+                imgs_np = np.asarray(images[0])
+                vdir = os.path.join(output_dir, "visuals")
+                if cfg.visual_tracks:
+                    visualize_tracks(imgs_np, predictions["pred_track"][0],
+                                     predictions["pred_vis"][0], vdir)
+                if cfg.make_reproj_frames:
+                    visualize_reprojections(
+                        imgs_np, predictions["pred_track"][0],
+                        predictions["points3d"],
+                        predictions["extrinsics"],
+                        predictions["intrinsics"],
+                        predictions["valid_tracks"], vdir)
         return predictions
 
     def _choose_camera_init(self, extr_neural, intr_neural, pre, track,
