@@ -30,6 +30,9 @@ def parse_args(argv):
                         "OUT/depths/*.bin (COLMAP array format)")
     p.add_argument("--depth-checkpoint", default=None,
                    help="DepthAnythingV2 torch checkpoint (optional)")
+    p.add_argument("--load-gt", action="store_true",
+                   help="load COLMAP GT from SCENE/sparse[/0] and report "
+                        "pose AUC@30 against it")
     p.add_argument("--visual-tracks", action="store_true",
                    help="write track overlays (PNGs + GIF) to OUT/visuals")
     p.add_argument("--reproj-frames", action="store_true",
@@ -104,7 +107,8 @@ def main(argv=None):
         cfg = RunnerConfig(**overrides)
     runner = VGGSfMRunner(cfg)
     out_dir = args.output or args.scene_dir
-    predictions = runner.run_scene(args.scene_dir, output_dir=out_dir)
+    predictions = runner.run_scene(args.scene_dir, output_dir=out_dir,
+                                   load_gt=args.load_gt)
     summary = {
         "frames": int(predictions["extrinsics"].shape[0]),
         "valid_tracks": int(predictions["valid_tracks"].sum()),
@@ -114,6 +118,8 @@ def main(argv=None):
                     for k, v in predictions["timings"].items()},
         "output": out_dir,
     }
+    if "gt_auc30" in predictions:
+        summary["gt_auc30"] = round(predictions["gt_auc30"], 4)
     print(json.dumps(summary))
     return predictions
 

@@ -154,6 +154,46 @@ class TestRunnerSmoke:
         for p in rec.points3D.values():
             assert 2 not in set(int(i) for i in p.image_ids)
 
+    def test_run_scene_load_gt(self, tmp_path):
+        """--load-gt: COLMAP GT under SCENE/sparse is scored as AUC@30."""
+        from PIL import Image as PILImage
+
+        from vggsfm_tpu.io import arrays_to_reconstruction, write_model
+        from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+
+        rng = np.random.default_rng(5)
+        S, R = 2, 128
+        scene = str(tmp_path / "scene")
+        os.makedirs(os.path.join(scene, "images"))
+        names = []
+        for i in range(S):
+            arr = (rng.uniform(size=(R, R, 3)) * 255).astype(np.uint8)
+            name = f"f{i}.png"
+            PILImage.fromarray(arr).save(
+                os.path.join(scene, "images", name))
+            names.append(name)
+        # GT model: planted cameras + a few points
+        extr = np.tile(np.eye(3, 4, dtype=np.float64), (S, 1, 1))
+        extr[1, 0, 3] = 0.3
+        intr = np.tile(np.array([[128.0, 0, 64], [0, 128, 64], [0, 0, 1]]),
+                       (S, 1, 1))
+        pts = rng.uniform([-1, -1, 4], [1, 1, 8], size=(12, 3))
+        tracks = np.zeros((S, 12, 2))
+        for s in range(S):
+            Xc = (extr[s, :, :3] @ pts.T).T + extr[s, :, 3]
+            uv = (intr[s] @ Xc.T).T
+            tracks[s] = uv[:, :2] / uv[:, 2:]
+        rec = arrays_to_reconstruction(
+            pts, extr, intr, tracks, np.ones((S, 12), bool), (R, R),
+            image_names=names)
+        write_model(rec, os.path.join(scene, "sparse"), ext=".bin")
+
+        cfg = RunnerConfig(img_size=R, query_frame_num=1, max_query_pts=64,
+                           query_method="harris", fine_tracking=False,
+                           comple_nonvis=False, robust_refine=0, ba_iters=1)
+        preds = VGGSfMRunner(cfg).run_scene(scene, load_gt=True)
+        assert 0.0 <= preds["gt_auc30"] <= 1.0
+
     def test_visualization_outputs(self, tmp_path):
         """visual_tracks / make_reproj_frames write overlays on export."""
         from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner

@@ -834,12 +834,31 @@ class VGGSfMRunner:
         write_model(rec, os.path.join(output_dir, "sparse"), ext=".bin")
         return rec
 
-    def run_scene(self, scene_dir: str, output_dir: str | None = None):
-        """Convenience: load a scene folder and reconstruct it."""
-        loader = DemoLoader(scene_dir, img_size=self.cfg.img_size)
+    def run_scene(self, scene_dir: str, output_dir: str | None = None,
+                  load_gt: bool = False):
+        """Convenience: load a scene folder and reconstruct it.
+
+        With `load_gt`, a COLMAP model under SCENE/sparse[/0] is loaded
+        and the predictions dict gains ``gt_auc30`` — the reference's
+        load_gt evaluation path (cfgs/demo.yaml:30, demo_loader.py:116).
+        """
+        loader = DemoLoader(scene_dir, img_size=self.cfg.img_size,
+                            load_gt=load_gt)
         data = loader.load()
-        return self.sparse_reconstruct(
+        predictions = self.sparse_reconstruct(
             data["images"], masks=data["masks"],
             image_names=data["image_names"],
             output_dir=output_dir,
             crop_params=data["crop_params"])
+        gt = data.get("gt")
+        if load_gt and gt is not None:
+            from vggsfm_tpu.datasets.camera_transform import (
+                first_camera_transform,
+            )
+            from vggsfm_tpu.geometry.metrics import pose_auc30
+
+            gt_extr, _ = first_camera_transform(
+                jnp.asarray(gt["extrinsics"], jnp.float32))
+            predictions["gt_auc30"] = float(np.asarray(pose_auc30(
+                jnp.asarray(predictions["extrinsics"]), gt_extr)))
+        return predictions
