@@ -59,6 +59,12 @@ class VideoConfig:
     align_with_camera_predictor: bool = True
     # one shared camera across the sequence (joint BA ties the focal step)
     shared_camera: bool = True
+    # SIMPLE_PINHOLE | SIMPLE_RADIAL — the reference's video default is
+    # SIMPLE_RADIAL with a shared camera (cfgs/video_demo.yaml). With
+    # SIMPLE_RADIAL one radial coefficient per frame is carried through
+    # the incremental map (PnP registers on undistorted pixels; the
+    # joint BA refines k, tied when shared_camera)
+    camera_type: str = "SIMPLE_PINHOLE"
 
 
 class MapRegistry:
@@ -124,8 +130,24 @@ class VideoRunner:
             track, _ = self.r._fine_track(imj, track)
         return np.asarray(track[0]), np.asarray(vis[0])
 
+    def _undistort_px(self, tracks, intrinsics, extra):
+        """Distorted pixels -> ideal pinhole pixels (same K).
+
+        PnP and DLT triangulation are pinhole solvers; with SIMPLE_RADIAL
+        the observations are first mapped through the Newton undistortion
+        (cam_from_img) and re-projected with the bare K.
+        """
+        if extra is None:
+            return tracks
+        tn = cam_from_img(jnp.asarray(tracks), jnp.asarray(intrinsics),
+                          jnp.asarray(extra))
+        f = intrinsics[..., 0:1, 0:1]
+        pp = intrinsics[..., :2, 2][..., None, :]
+        return np.asarray(tn * f + pp)
+
     def _attempt_window(self, images, reg, extrinsics, intrinsics, q,
-                        start, w_end, pts_mult=1, pad_frames=None):
+                        start, w_end, pts_mult=1, pad_frames=None,
+                        extra=None):
         """Track from query frame `q` through [start, w_end) and
         PnP-register the new frames against the frozen map.
 
@@ -150,7 +172,9 @@ class VideoRunner:
         # query points: reprojected map points visible in q + fresh
         proj_q = np.asarray(project_points(
             jnp.asarray(reg.xyz), jnp.asarray(extrinsics[q][None]),
-            jnp.asarray(intrinsics[q][None])))[0]
+            jnp.asarray(intrinsics[q][None]),
+            extra_params=(None if extra is None
+                          else jnp.asarray(extra[q][None]))))[0]
         vis_q = ((proj_q[:, 0] >= 0) & (proj_q[:, 0] < W)
                  & (proj_q[:, 1] >= 0) & (proj_q[:, 1] < H))
         map_sel = np.nonzero(vis_q)[0][-budget:]
@@ -179,9 +203,12 @@ class VideoRunner:
         X_map[:n_map] = reg.xyz[map_sel]
 
         if n_map >= 6:
+            pnp_px = self._undistort_px(
+                tracks_p[1:, :budget], intrinsics[q],
+                None if extra is None else extra[q])
             pnp = absolute_pose_ransac(
                 jnp.asarray(np.repeat(X_map[None], Sw_full - 1, 0)),
-                jnp.asarray(tracks_p[1:, :budget]),
+                jnp.asarray(pnp_px),
                 jnp.asarray(intrinsics[q][None].repeat(Sw_full - 1, 0)),
                 jax.random.PRNGKey(cfg.seed + start),
                 valid_mask=jnp.asarray(
@@ -229,7 +256,8 @@ class VideoRunner:
         return np.asarray(apply_transformation(extr_pred, R_a, T_a, s_a))
 
     def save_checkpoint(self, path: str, reg, extrinsics, intrinsics,
-                        registered, end: int, windows_done: int) -> None:
+                        registered, end: int, windows_done: int,
+                        extra=None) -> None:
         """Persist the full incremental state (resume point).
 
         The reference has no pipeline-state checkpointing (SURVEY §5); its
@@ -237,17 +265,22 @@ class VideoRunner:
         the map registry + camera arrays + window cursor.
         """
         reg.save(path + ".map.npz")
-        np.savez_compressed(path + ".state.npz", extrinsics=extrinsics,
-                            intrinsics=intrinsics, registered=registered,
-                            end=end, windows_done=windows_done)
+        state = dict(extrinsics=extrinsics, intrinsics=intrinsics,
+                     registered=registered, end=end,
+                     windows_done=windows_done)
+        if extra is not None:
+            state["extra_params"] = extra
+        np.savez_compressed(path + ".state.npz", **state)
 
     @staticmethod
     def load_checkpoint(path: str):
         reg = MapRegistry.load(path + ".map.npz")
         st = np.load(path + ".state.npz")
+        extra = (st["extra_params"].copy()
+                 if "extra_params" in st.files else None)
         return (reg, st["extrinsics"].copy(), st["intrinsics"].copy(),
                 st["registered"].copy(), int(st["end"]),
-                int(st["windows_done"]))
+                int(st["windows_done"]), extra)
 
     def run(self, images: np.ndarray, output_dir: str | None = None,
             resume_from: str | None = None,
@@ -263,20 +296,28 @@ class VideoRunner:
         W = R_img
         H = R_img
 
+        radial = cfg.camera_type == "SIMPLE_RADIAL"
         if resume_from is not None:
             (reg, extrinsics, intrinsics, registered, end,
-             windows_done) = self.load_checkpoint(resume_from)
+             windows_done, extra) = self.load_checkpoint(resume_from)
+            if radial and extra is None:
+                extra = np.zeros((T, 1), np.float32)
         else:
             reg = MapRegistry()
             extrinsics = np.zeros((T, 3, 4), np.float32)
             intrinsics = np.zeros((T, 3, 3), np.float32)
+            extra = np.zeros((T, 1), np.float32) if radial else None
             registered = np.zeros((T,), bool)
 
-            # ---- initial window: full sparse solve
+            # ---- initial window: full sparse solve (the sparse runner
+            # must use the same camera model for the init window's
+            # extra params to exist)
             S0 = min(cfg.init_window_size, T)
             init = self.r.sparse_reconstruct(images[:S0])
             extrinsics[:S0] = init["extrinsics"]
             intrinsics[:S0] = init["intrinsics"]
+            if radial and init.get("extra_params") is not None:
+                extra[:S0] = init["extra_params"]
             registered[:S0] = True
 
             valid = init["valid_tracks"]
@@ -306,7 +347,8 @@ class VideoRunner:
             for q, wsz, mult in schedule:
                 attempt = self._attempt_window(
                     images, reg, extrinsics, intrinsics, q, end,
-                    min(end + wsz, T), mult, pad_frames=wsz + 1)
+                    min(end + wsz, T), mult, pad_frames=wsz + 1,
+                    extra=extra)
                 if attempt["ok"].any():
                     res = attempt
                     break
@@ -347,6 +389,8 @@ class VideoRunner:
             for i, fidx in enumerate(new_frames):
                 extrinsics[fidx] = extr_new[i]
                 intrinsics[fidx] = intrinsics[q]
+                if extra is not None:
+                    extra[fidx] = extra[q]
                 registered[fidx] = True
 
             if n_map >= 6:
@@ -358,6 +402,8 @@ class VideoRunner:
                 extr_w, intr_w, _, _ = refine_poses(
                     extr_w, intr_w, jnp.asarray(X_map),
                     jnp.asarray(map_tracks), obs_w, (W, H),
+                    extra_params=(None if extra is None
+                                  else jnp.asarray(extra[frames_w])),
                     refine_intrinsics=False)
                 extr_w = np.asarray(extr_w)
                 for i, fidx in enumerate(frames_w[1:], start=1):
@@ -374,7 +420,9 @@ class VideoRunner:
             fresh_tracks = tracks_w[:, budget:]
             fresh_vis = vis_w[:, budget:]
             tn = cam_from_img(jnp.asarray(fresh_tracks),
-                              jnp.asarray(intrinsics[frames_w]))
+                              jnp.asarray(intrinsics[frames_w]),
+                              None if extra is None
+                              else jnp.asarray(extra[frames_w]))
             pts_new, inl_num, inl_mask = triangulate_tracks(
                 jnp.asarray(extrinsics[frames_w]), tn,
                 track_vis=jnp.asarray(fresh_vis), max_ransac_iters=32,
@@ -392,15 +440,17 @@ class VideoRunner:
             windows_done += 1
 
             if windows_done % cfg.joint_ba_interval == 0 or end >= T:
-                self._joint_ba(extrinsics, intrinsics, reg, registered)
+                self._joint_ba(extrinsics, intrinsics, reg, registered,
+                               extra=extra)
                 if checkpoint_path is not None:
                     self.save_checkpoint(checkpoint_path, reg, extrinsics,
                                          intrinsics, registered, end,
-                                         windows_done)
+                                         windows_done, extra=extra)
 
         predictions = {
             "extrinsics": extrinsics,
             "intrinsics": intrinsics,
+            "extra_params": extra,
             "points3d": reg.xyz,
             "registered": registered,
             "num_points": reg.num_points,
@@ -413,7 +463,7 @@ class VideoRunner:
     # ------------------------------------------------------------------
 
     def _joint_ba(self, extrinsics, intrinsics, reg: MapRegistry,
-                  registered):
+                  registered, extra=None):
         """Sparse LM over all registered frames + map points."""
         T = extrinsics.shape[0]
         P = reg.num_points
@@ -425,18 +475,23 @@ class VideoRunner:
         # video_runner.py:494-541)
         cfg = SparseBAConfig(max_iterations=12,
                              refine_focal=self.cfg.shared_camera,
+                             refine_extra=(extra is not None
+                                           and self.cfg.shared_camera),
                              shared_intrinsics=self.cfg.shared_camera,
                              cg_iters=30, robust_loss="cauchy",
                              loss_scale=4.0)
-        extr, intr, _, X, info = bundle_adjust_sparse(
+        extr, intr, extra_o, X, info = bundle_adjust_sparse(
             jnp.asarray(extrinsics), jnp.asarray(intrinsics),
             jnp.asarray(reg.xyz),
             jnp.asarray(reg.obs_frame), jnp.asarray(reg.obs_point),
             jnp.asarray(reg.obs_xy),
             jnp.ones((len(reg.obs_frame),), jnp.float32),
+            extra_params=(None if extra is None else jnp.asarray(extra)),
             pose_free=pose_free, cfg=cfg)
         extrinsics[:] = np.asarray(extr)
         intrinsics[:] = np.asarray(intr)
+        if extra is not None and extra_o is not None:
+            extra[:] = np.asarray(extra_o)
         reg.xyz = np.asarray(X)
 
     def _export(self, predictions, reg, image_size, output_dir):
@@ -456,11 +511,13 @@ class VideoRunner:
             point_tracks.setdefault(p, []).append((f + 1, len(xs)))
             xs.append(reg.obs_xy[o])
             ps.append(p)
+        cam_type = self.cfg.camera_type
+        extra = predictions.get("extra_params")
         for t in range(T):
             cameras[t + 1] = Camera(
-                t + 1, "SIMPLE_PINHOLE", image_size[0], image_size[1],
-                _camera_params("SIMPLE_PINHOLE",
-                               predictions["intrinsics"][t], None))
+                t + 1, cam_type, image_size[0], image_size[1],
+                _camera_params(cam_type, predictions["intrinsics"][t],
+                               None if extra is None else extra[t]))
             xs, ps = per_image[t]
             images_d[t + 1] = Image(
                 t + 1, _matrix_to_quat(predictions["extrinsics"][t, :, :3]),
