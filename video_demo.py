@@ -25,6 +25,11 @@ def main(argv=None):
     p.add_argument("--joint-ba-interval", type=int, default=4)
     p.add_argument("--max-query-pts", type=int, default=1024)
     p.add_argument("--query-method", default="sift")
+    p.add_argument("--camera-type", default="SIMPLE_PINHOLE",
+                   choices=["SIMPLE_PINHOLE", "SIMPLE_RADIAL"],
+                   help="SIMPLE_RADIAL carries a shared radial "
+                        "coefficient through the incremental map "
+                        "(the reference's video default)")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--state-checkpoint", default=None,
                    help="path prefix for pipeline-state checkpoints "
@@ -40,12 +45,14 @@ def main(argv=None):
     scfg = RunnerConfig(img_size=args.img_size, query_frame_num=1,
                         max_query_pts=args.max_query_pts,
                         query_method=args.query_method,
+                        camera_type=args.camera_type,
                         checkpoint=args.checkpoint)
     vcfg = VideoConfig(init_window_size=args.init_window,
                        window_size=args.window,
                        joint_ba_interval=args.joint_ba_interval,
                        max_query_pts=args.max_query_pts,
-                       query_method=args.query_method)
+                       query_method=args.query_method,
+                       camera_type=args.camera_type)
     runner = VideoRunner(VGGSfMRunner(scfg), vcfg)
 
     data = DemoLoader(args.scene_dir, img_size=args.img_size).load()
