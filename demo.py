@@ -65,13 +65,25 @@ def parse_args(argv):
     # accept hydra-style SCENE_DIR=... for muscle-memory compatibility
     argv = [a.split("=", 1)[1] if a.startswith("SCENE_DIR=") else a
             for a in argv]
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    # which dest values differ from the parser defaults — with --config,
+    # only these override the file (a default-valued flag the user never
+    # typed must not clobber a YAML setting)
+    args._non_default = {
+        a.dest for a in p._actions
+        if a.dest != "help" and getattr(args, a.dest, None) != a.default
+    }
+    return args
 
 
-def main(argv=None):
-    args = parse_args(argv if argv is not None else sys.argv[1:])
+def build_config(args):
+    """RunnerConfig from CLI args (+ optional YAML --config).
 
-    from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+    Precedence: explicitly-typed CLI flags > YAML file > dataclass
+    defaults. A flag left at its argparse default never clobbers a YAML
+    value.
+    """
+    from vggsfm_tpu.runner import RunnerConfig
 
     overrides = dict(
         img_size=args.img_size,
@@ -93,6 +105,9 @@ def main(argv=None):
         extra_by_neighbor=args.extra_by_neighbor,
         concat_extra_points=args.concat_extra_points,
     )
+    # maps RunnerConfig field -> argparse dest (they differ for a few)
+    dest_of = {"fine_tracking": "no_fine_tracking", "make_glb": "glb",
+               "make_reproj_frames": "reproj_frames"}
     if args.config:
         import dataclasses
 
@@ -101,10 +116,19 @@ def main(argv=None):
         file_cfg = yaml.safe_load(open(args.config)) or {}
         fields = {f.name for f in dataclasses.fields(RunnerConfig)}
         base = {k: v for k, v in file_cfg.items() if k in fields}
-        base.update(overrides)
-        cfg = RunnerConfig(**base)
-    else:
-        cfg = RunnerConfig(**overrides)
+        # only explicitly-typed CLI flags override the file
+        base.update({k: v for k, v in overrides.items()
+                     if dest_of.get(k, k) in args._non_default})
+        return RunnerConfig(**base)
+    return RunnerConfig(**overrides)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from vggsfm_tpu.runner import VGGSfMRunner
+
+    cfg = build_config(args)
     runner = VGGSfMRunner(cfg)
     out_dir = args.output or args.scene_dir
     predictions = runner.run_scene(args.scene_dir, output_dir=out_dir,

@@ -67,7 +67,10 @@ def main(argv=None):
     rec = arrays_to_reconstruction(pts, extr, intr, tracks, inb,
                                    (args.size, args.size),
                                    image_names=names)
-    write_model(rec, os.path.join(args.out, "sparse"), ext=".bin")
+    # GT lives in sparse/0 (the COLMAP convention the loader checks
+    # first) so a demo.py run writing its predictions to SCENE/sparse
+    # cannot clobber it
+    write_model(rec, os.path.join(args.out, "sparse", "0"), ext=".bin")
     print(f"wrote {S} frames + GT model under {args.out}")
     return 0
 

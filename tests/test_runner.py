@@ -154,6 +154,33 @@ class TestRunnerSmoke:
         for p in rec.points3D.values():
             assert 2 not in set(int(i) for i in p.image_ids)
 
+    def test_demo_config_precedence(self, tmp_path):
+        """YAML --config values win over untyped CLI defaults; explicit
+        CLI flags win over the YAML."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import demo
+
+        cfg_file = str(tmp_path / "cfg.yaml")
+        with open(cfg_file, "w") as f:
+            f.write("visual_tracks: true\n"
+                    "extra_pt_pixel_interval: 16\n"
+                    "max_query_pts: 777\n"
+                    "fine_tracking: false\n")
+        args = demo.parse_args(["scene", "--config", cfg_file,
+                                "--max-query-pts", "111"])
+        cfg = demo.build_config(args)
+        assert cfg.visual_tracks is True          # YAML survives
+        assert cfg.extra_pt_pixel_interval == 16  # YAML survives
+        assert cfg.fine_tracking is False         # YAML survives
+        assert cfg.max_query_pts == 111           # explicit CLI wins
+        # explicit store_true flag beats the file too
+        args2 = demo.parse_args(["scene", "--config", cfg_file,
+                                 "--no-fine-tracking"])
+        assert demo.build_config(args2).fine_tracking is False
+
     def test_run_scene_load_gt(self, tmp_path):
         """--load-gt: COLMAP GT under SCENE/sparse is scored as AUC@30."""
         from PIL import Image as PILImage

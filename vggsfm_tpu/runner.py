@@ -474,6 +474,9 @@ class VGGSfMRunner:
         """
         cfg = self.cfg
         t_start = time.time()
+        # keep a host reference when the caller passed numpy — the
+        # visualizers reuse it instead of re-downloading the frame stack
+        host_images = images if isinstance(images, np.ndarray) else None
         # device placement: pass a jax array to keep frames resident
         # across calls (the video runner does); uint8 input uploads 4x
         # less and normalizes on device
@@ -592,7 +595,8 @@ class VGGSfMRunner:
                     self.triangulate_extra_points(
                         images, fmaps, predictions["extrinsics"],
                         predictions["intrinsics"], num_extra=num_extra,
-                        by_neighbor=cfg.extra_by_neighbor)
+                        by_neighbor=cfg.extra_by_neighbor,
+                        extra_params=predictions.get("extra_params"))
             predictions["total_time"] = time.time() - t_start
         if cfg.dense_depth:
             t0 = time.time()
@@ -618,7 +622,8 @@ class VGGSfMRunner:
                     visualize_tracks,
                 )
 
-                imgs_np = np.asarray(images[0])
+                imgs_np = (host_images if host_images is not None
+                           else np.asarray(images[0]))
                 vdir = os.path.join(output_dir, "visuals")
                 if cfg.visual_tracks:
                     visualize_tracks(imgs_np, predictions["pred_track"][0],
@@ -629,7 +634,8 @@ class VGGSfMRunner:
                         predictions["points3d"],
                         predictions["extrinsics"],
                         predictions["intrinsics"],
-                        predictions["valid_tracks"], vdir)
+                        predictions["valid_tracks"], vdir,
+                        extra_params=predictions.get("extra_params"))
         return predictions
 
     def _choose_camera_init(self, extr_neural, intr_neural, pre, track,
@@ -704,7 +710,8 @@ class VGGSfMRunner:
 
     def triangulate_extra_points(self, images, fmaps, extrinsics,
                                  intrinsics, num_extra: int = 4096,
-                                 by_neighbor: int = -1):
+                                 by_neighbor: int = -1,
+                                 extra_params=None):
         """Densify: per-frame grid points tracked + triangulated, no BA.
 
         Parity: runner.py:635-742 (`triangulate_extra_points`): every
@@ -745,7 +752,9 @@ class VGGSfMRunner:
             vi = jnp.concatenate(vis_all, axis=2)[0]
 
             intr_w = jnp.asarray(intrinsics[order])
-            tn = cam_from_img(tr, intr_w)
+            extra_w = (None if extra_params is None
+                       else jnp.asarray(np.asarray(extra_params)[order]))
+            tn = cam_from_img(tr, intr_w, extra_w)
             pts, inl_num, _ = triangulate_tracks(
                 jnp.asarray(extrinsics[order]), tn, track_vis=vi,
                 max_ransac_iters=64, seed=7 + q)
@@ -754,7 +763,9 @@ class VGGSfMRunner:
             rgb = jnp.sum(colors * w, axis=0) / jnp.maximum(
                 jnp.sum(w, axis=0), 1)
             all_pts.append(np.asarray(pts))
-            all_valid.append(np.asarray(inl_num >= 3))
+            # a 2-frame neighbor window can never reach 3 inliers —
+            # require what the window can actually support
+            all_valid.append(np.asarray(inl_num >= min(3, L)))
             all_rgb.append(np.asarray(rgb))
             all_src.append(np.full(qp.shape[1], q, np.int32))
 
@@ -852,13 +863,23 @@ class VGGSfMRunner:
             crop_params=data["crop_params"])
         gt = data.get("gt")
         if load_gt and gt is not None:
-            from vggsfm_tpu.datasets.camera_transform import (
-                first_camera_transform,
-            )
             from vggsfm_tpu.geometry.metrics import pose_auc30
 
-            gt_extr, _ = first_camera_transform(
-                jnp.asarray(gt["extrinsics"], jnp.float32))
-            predictions["gt_auc30"] = float(np.asarray(pose_auc30(
-                jnp.asarray(predictions["extrinsics"]), gt_extr)))
+            # align by image NAME: COLMAP assigns image ids in
+            # registration order, not filename order, and may register
+            # only a subset — positional pairing would silently score
+            # mismatched frames. (No global alignment needed: the metric
+            # is built on relative pose pairs.)
+            gt_by_name = {n: i for i, n in enumerate(gt["image_names"])}
+            pred_idx, gt_idx = [], []
+            for i, n in enumerate(data["image_names"]):
+                j = gt_by_name.get(n)
+                if j is not None:
+                    pred_idx.append(i)
+                    gt_idx.append(j)
+            if len(pred_idx) >= 2:
+                predictions["gt_auc30"] = float(np.asarray(pose_auc30(
+                    jnp.asarray(predictions["extrinsics"][pred_idx]),
+                    jnp.asarray(gt["extrinsics"][gt_idx], jnp.float32))))
+                predictions["gt_frames_matched"] = len(pred_idx)
         return predictions

@@ -87,17 +87,21 @@ def visualize_tracks(images: np.ndarray, tracks: np.ndarray,
 def visualize_reprojections(images: np.ndarray, tracks: np.ndarray,
                             points3d: np.ndarray, extrinsics: np.ndarray,
                             intrinsics: np.ndarray, valid_tracks: np.ndarray,
-                            output_dir: str) -> list:
+                            output_dir: str, extra_params=None) -> list:
     """Overlay observed tracks (colored) and reprojected 3D points (white).
 
     Parity: utils/utils.py:428-571 (`create_video_with_reprojections`).
+    `extra_params` (radial distortion) must be passed for SIMPLE_RADIAL
+    models — the observations live in distorted pixel space.
     """
     from vggsfm_tpu.geometry.cameras import project_points
     import jax.numpy as jnp
 
     proj = np.asarray(project_points(
         jnp.asarray(points3d), jnp.asarray(extrinsics),
-        jnp.asarray(intrinsics)))
+        jnp.asarray(intrinsics),
+        extra_params=(None if extra_params is None
+                      else jnp.asarray(extra_params))))
     imgs = np.asarray(images)
     if imgs.dtype != np.uint8:
         imgs = np.clip(imgs * 255, 0, 255).astype(np.uint8)
