@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Distributed-BA scaling measurement on a simulated device mesh.
+
+Times the observation-sharded joint bundle adjuster (the multi-host
+scale-out path, vggsfm_tpu/parallel/multihost.py) at 1 shard vs N shards
+over `--devices` virtual host-platform devices and reports the scaling
+efficiency t1 / (N * tN). On real multi-chip/multi-host TPU hardware the
+same code path runs unchanged (`shard_map` + psum over the mesh axis);
+this harness exists because the build environment has exactly one chip —
+the number is an honest lower bound from CPU thread parallelism, labeled
+as such in the output.
+
+  python bench_scaling.py [--devices 2] [--frames 64] [--points 8192]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--devices", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--points", type=int, default=8192)
+    ap.add_argument("--obs-per-frame", type=int, default=2048)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count="
+            f"{args.devices}").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from vggsfm_tpu.ba.sparse_lm import SparseBAConfig, bundle_adjust_sparse
+    from vggsfm_tpu.parallel.multihost import distributed_bundle_adjust
+
+    rng = np.random.default_rng(0)
+    S, P = args.frames, args.points
+    f = 512.0
+    X = rng.uniform([-2, -2, 6], [2, 2, 10], size=(P, 3)).astype(np.float32)
+    extr = np.zeros((S, 3, 4), np.float32)
+    intr = np.zeros((S, 3, 3), np.float32)
+    for s in range(S):
+        a = 0.02 * s
+        extr[s, :, :3] = np.array(
+            [[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+             [-np.sin(a), 0, np.cos(a)]])
+        extr[s, :, 3] = [0.1 * s, 0, 0.02 * s]
+        intr[s] = [[f, 0, 256], [0, f, 256], [0, 0, 1]]
+    obs_f, obs_p, obs_xy = [], [], []
+    for s in range(S):
+        sel = rng.choice(P, args.obs_per_frame, replace=False)
+        Xc = (extr[s, :, :3] @ X[sel].T).T + extr[s, :, 3]
+        uv = (intr[s] @ Xc.T).T
+        obs_f.append(np.full(len(sel), s, np.int32))
+        obs_p.append(sel.astype(np.int32))
+        obs_xy.append((uv[:, :2] / uv[:, 2:]).astype(np.float32)
+                      + rng.normal(scale=0.5, size=(len(sel), 2)))
+    obs_f = np.concatenate(obs_f)
+    obs_p = np.concatenate(obs_p)
+    obs_xy = np.concatenate(obs_xy).astype(np.float32)
+    w = np.ones(len(obs_f), np.float32)
+    extr_n = extr.copy()
+    extr_n[1:, :, 3] += rng.normal(scale=0.01, size=(S - 1, 3))
+
+    cfg = SparseBAConfig(max_iterations=args.iters, refine_focal=False,
+                         cg_iters=20)
+
+    def run_single():
+        out = bundle_adjust_sparse(
+            jnp.asarray(extr_n), jnp.asarray(intr), jnp.asarray(X),
+            jnp.asarray(obs_f), jnp.asarray(obs_p), jnp.asarray(obs_xy),
+            jnp.asarray(w), cfg=cfg)
+        return np.asarray(out[0])  # device->host sync
+
+    mesh = Mesh(np.array(jax.devices()[:args.devices]), ("points",))
+
+    def run_sharded():
+        out = distributed_bundle_adjust(
+            mesh, jnp.asarray(extr_n), jnp.asarray(intr), jnp.asarray(X),
+            obs_f, obs_p, obs_xy, w, cfg=cfg)
+        return np.asarray(out[0])
+
+    def timed(fn):
+        fn()  # compile
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            r = fn()
+            ts.append(time.time() - t0)
+        return float(np.median(ts)), r
+
+    t1, r1 = timed(run_single)
+    tn, rn = timed(run_sharded)
+    if not np.allclose(r1, rn, atol=1e-3):
+        print("WARNING: sharded result diverges from single-device",
+              file=sys.stderr)
+    n = args.devices
+    eff = t1 / (n * tn)
+    print(json.dumps({
+        "metric": "distributed_ba_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"t1/(N*tN), N={n} simulated devices",
+        "detail": {"t_single_s": round(t1, 3),
+                   "t_sharded_s": round(tn, 3),
+                   "frames": S, "points": P,
+                   "observations": int(len(obs_f)),
+                   "platform": "cpu-simulated mesh (one real chip in "
+                               "this environment); same shard_map path "
+                               "runs unchanged on real meshes"},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

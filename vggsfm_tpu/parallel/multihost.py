@@ -32,6 +32,8 @@ from jax.sharding import PartitionSpec as P
 
 from vggsfm_tpu.ba.sparse_lm import SparseBAConfig, bundle_adjust_sparse
 
+_MAPPED_CACHE: dict = {}
+
 
 def init_multihost(coordinator_address: str | None = None,
                    num_processes: int | None = None,
@@ -115,11 +117,20 @@ def distributed_bundle_adjust(
         extr_o, intr_o, extra, X_o, info = out
         return extr_o, intr_o, X_o, info["final_cost"]
 
-    mapped = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=(P(), P(), P(), P()),
-        check_vma=False)
+    # the shard_map MUST go through jit: called eagerly it re-traces and
+    # dispatches per call (measured 2.7x slower at N=1 than the plain
+    # jitted solver). Cache per (mesh, shapes, cfg) signature.
+    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
+           S, P_, len(obs_frame), cfg, axis)
+    mapped = _MAPPED_CACHE.get(key)
+    if mapped is None:
+        mapped = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
+                      P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False))
+        _MAPPED_CACHE[key] = mapped
     extr_o, intr_o, X_o, cost = mapped(
         jnp.asarray(extrinsics), jnp.asarray(intrinsics),
         jnp.asarray(points3d), jnp.asarray(obs_frame),
