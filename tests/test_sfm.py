@@ -91,6 +91,28 @@ class TestRunSfm:
         assert float(auc) > 0.9
         assert np.asarray(out["valid_frame_mask"]).all()
 
+    def test_jitted_run_sfm_matches_eager(self, rng):
+        """run_sfm compiles as ONE program (jit_sfm path) and matches the
+        eager composition bitwise-closely."""
+        import jax
+
+        extr, intr, X, tracks, vis = make_scene(rng, S=4, N=150)
+        cfg = SfmConfig(ba_max_iterations=5, max_ransac_iters=64,
+                        robust_refine=1, ba_iters=1)
+        args = (jnp.asarray(extr, jnp.float32),
+                jnp.asarray(intr, jnp.float32),
+                jnp.asarray(tracks, jnp.float32), jnp.asarray(vis))
+        eager = run_sfm(*args, (640, 480), cfg=cfg)
+        from functools import partial
+
+        jitted = jax.jit(partial(run_sfm, image_size=(640, 480),
+                                 cfg=cfg))(*args)
+        np.testing.assert_allclose(np.asarray(jitted["extrinsics"]),
+                                   np.asarray(eager["extrinsics"]),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(jitted["valid_tracks"]),
+                                      np.asarray(eager["valid_tracks"]))
+
     def test_static_shapes_preserved(self, rng):
         extr, intr, X, tracks, vis = make_scene(rng, S=4, N=150)
         cfg = SfmConfig(ba_max_iterations=5, max_ransac_iters=64,

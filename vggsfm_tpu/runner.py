@@ -18,6 +18,7 @@ import contextlib
 import dataclasses
 import os
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -149,6 +150,11 @@ class RunnerConfig:
     # 'bf16' runs the neural path in bfloat16 (parity with the reference's
     # fp16 autocast default, cfgs/demo.yaml:16); geometry stays f32
     precision: str = "bf16"
+    # compile the WHOLE SfM solve (run_sfm) as one XLA program instead of
+    # eager glue between jitted kernels — removes hundreds of dispatch
+    # round-trips on a tunneled backend at the cost of a much larger
+    # one-time compile. Opt-in until measured on the real chip.
+    jit_sfm: bool = False
     # fused Pallas correlation kernel (TPU only; XLA fallback elsewhere)
     use_pallas_corr: bool | None = None
 
@@ -552,9 +558,15 @@ class VGGSfMRunner:
                 shared_camera=cfg.shared_camera,
                 refine_focal=cfg.refine_focal,
                 camera_type=cfg.camera_type)
-            out = run_sfm(extr_init, intr_init, track[0], vis[0], (W, H),
-                          fmat_inlier_mask=pre["fmat_inlier_mask"][0],
-                          score=score[0], cfg=sfm_cfg)
+            if cfg.jit_sfm:
+                sfm_fn = self._jitted(
+                    f"run_sfm_{hash((sfm_cfg, W, H))}",
+                    partial(run_sfm, image_size=(W, H), cfg=sfm_cfg))
+            else:
+                sfm_fn = partial(run_sfm, image_size=(W, H), cfg=sfm_cfg)
+            out = sfm_fn(extr_init, intr_init, track[0], vis[0],
+                         fmat_inlier_mask=pre["fmat_inlier_mask"][0],
+                         score=score[0])
 
         # 7. colors + export
         colors = None
