@@ -96,7 +96,9 @@ def main():
     # exits nonzero — total pipeline failure can't masquerade as a perf
     # number
     watchdog.cancel()
-    ok = valid_tracks >= 100 and auc30 >= 0.5
+    # gate at the demonstrated quality floor (AUC 1.0 since the
+    # pose-refinement fixes; 0.85 leaves room for RNG drift only)
+    ok = valid_tracks >= 100 and auc30 >= 0.85
     print(json.dumps({
         "metric": "sparse_8frame_e2e_frames_per_s",
         "value": round(fps if ok else 0.0, 3),
