@@ -245,13 +245,9 @@ class TestVideoRadialOracle:
 
 @pytest.mark.slow
 class TestCheckpointResume:
-    def test_save_load_roundtrip_and_resume(self, tmp_path):
-        from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
-        from vggsfm_tpu.video import VideoConfig, VideoRunner
+    def test_registry_roundtrip(self, tmp_path, rng):
         from vggsfm_tpu.video.runner import MapRegistry
 
-        rng = np.random.default_rng(0)
-        # registry roundtrip
         reg = MapRegistry()
         reg.add_points(rng.normal(size=(20, 3)))
         reg.add_observations(np.arange(5), np.arange(5),
@@ -261,27 +257,57 @@ class TestCheckpointResume:
         np.testing.assert_allclose(reg2.xyz, reg.xyz)
         np.testing.assert_array_equal(reg2.obs_frame, reg.obs_frame)
 
-        # full checkpoint + resumed run reaches the same final frame count
-        T, R = 6, 128
-        base = rng.uniform(size=(R * 2, R * 2, 3)).astype(np.float32)
-        video = np.stack([base[4 * t: 4 * t + R, 4 * t: 4 * t + R]
-                          for t in range(T)])
-        scfg = RunnerConfig(img_size=R, query_frame_num=1, max_query_pts=32,
-                            query_method="harris", fine_tracking=False,
-                            comple_nonvis=False, robust_refine=0,
-                            ba_iters=1)
-        vcfg = VideoConfig(init_window_size=3, window_size=1,
-                           joint_ba_interval=1, max_query_pts=32,
-                           query_method="harris", min_inlier_per_frame=5)
-        runner = VideoRunner(VGGSfMRunner(scfg), vcfg)
-        ckpt = str(tmp_path / "ckpt")
-        preds = runner.run(video, checkpoint_path=ckpt)
-        assert preds["registered"].all()
-        # resume from the saved state: continues (and finishes) cleanly
-        preds2 = runner.run(video, resume_from=ckpt)
-        assert preds2["registered"].all()
-        np.testing.assert_allclose(preds2["extrinsics"][0],
-                                   preds["extrinsics"][0], atol=1e-6)
+    def test_save_load_roundtrip_and_resume(self, tmp_path):
+        """Full checkpoint + resumed run reaches the same state.
+
+        Runs in a FRESH subprocess: this test's many video-window
+        compiles reliably trigger the environment's cumulative XLA:CPU
+        LLVM codegen abort when a pytest worker has already compiled a
+        lot (see conftest.py); a clean interpreter makes it
+        deterministic.
+        """
+        import subprocess
+        import sys
+
+        script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, %r)
+import numpy as np
+from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+from vggsfm_tpu.video import VideoConfig, VideoRunner
+
+rng = np.random.default_rng(0)
+T, R = 6, 128
+base = rng.uniform(size=(R * 2, R * 2, 3)).astype(np.float32)
+video = np.stack([base[4 * t: 4 * t + R, 4 * t: 4 * t + R]
+                  for t in range(T)])
+scfg = RunnerConfig(img_size=R, query_frame_num=1, max_query_pts=32,
+                    query_method="harris", fine_tracking=False,
+                    comple_nonvis=False, robust_refine=0, ba_iters=1)
+vcfg = VideoConfig(init_window_size=3, window_size=1,
+                   joint_ba_interval=1, max_query_pts=32,
+                   query_method="harris", min_inlier_per_frame=5)
+runner = VideoRunner(VGGSfMRunner(scfg), vcfg)
+ckpt = %r
+preds = runner.run(video, checkpoint_path=ckpt)
+assert preds["registered"].all()
+preds2 = runner.run(video, resume_from=ckpt)
+assert preds2["registered"].all()
+np.testing.assert_allclose(preds2["extrinsics"][0],
+                           preds["extrinsics"][0], atol=1e-6)
+print("RESUME_OK")
+"""
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        code = script % (repo, str(tmp_path / "ckpt"))
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_cpu_parallel_codegen_split_count=1")
+        res = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=900)
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "RESUME_OK" in res.stdout
 
 
 @pytest.mark.slow
