@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 # suite with `pytest -n 4` so compiles also spread over processes.)
 if "xla_cpu_parallel_codegen_split_count" not in _flags:
     _flags = (_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+# ...and the thunk runtime still aborts after ~dozens of compiles in one
+# process (deterministically reproducible with tests/test_video.py run
+# single-process). The legacy CPU runtime does not: 7/7 video tests pass
+# where the thunk runtime dies at the 3rd.
+if "xla_cpu_use_thunk_runtime" not in _flags:
+    _flags = (_flags + " --xla_cpu_use_thunk_runtime=false").strip()
 os.environ["XLA_FLAGS"] = _flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
