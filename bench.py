@@ -3,7 +3,11 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference quotes ~20 s end-to-end for an 8-frame sparse-view
-scene on one GPU (README.md:243-246, max_query_pts=4096) => 0.4 frames/s.
+scene on one GPU at `query_frame_num=8 max_query_pts=4096 query_method=
+aliked` (README.md:243-246) => 0.4 frames/s. The HEADLINE number is
+measured at that same workload (8 query frames x 4096 points, fine
+tracking, comple_nonvis on); a lighter 1-query config is also reported in
+`detail` for round-over-round comparability.
 
 The scene is a synthetic two-plane parallax render with *planted* cameras
 (vggsfm_tpu/utils/synth.py), so the bench is also a correctness gate: it
@@ -11,7 +15,9 @@ drives the real runner (query extraction, coarse+fine tracking with
 matching init, camera predictor, two-view initialization, full SfM solve
 with in-graph BA), asserts the reconstruction is non-empty, and reports
 AUC@30 of the recovered poses against the planted ground truth. A bench
-run that reconstructs nothing exits nonzero.
+run that reconstructs nothing exits nonzero. Any failure mode — hang,
+backend-init error, pipeline crash — emits an explicit value-0 JSON line
+(the driver must never see a bare traceback with no JSON).
 """
 
 from __future__ import annotations
@@ -19,10 +25,20 @@ from __future__ import annotations
 import json
 import sys
 import time
-
-import numpy as np
+import traceback
 
 BASELINE_FPS = 8.0 / 20.0
+METRIC = "sparse_8frame_e2e_frames_per_s"
+
+
+def _emit(value, vs, detail, ok):
+    print(json.dumps({
+        "metric": METRIC,
+        "value": round(value, 3), "unit": "frames/s",
+        "vs_baseline": round(vs, 2), "detail": detail,
+    }), flush=True)
+    if not ok:
+        sys.exit(1)
 
 
 def _watchdog(seconds: float):
@@ -37,7 +53,7 @@ def _watchdog(seconds: float):
 
     def fire():
         print(json.dumps({
-            "metric": "sparse_8frame_e2e_frames_per_s",
+            "metric": METRIC,
             "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
             "detail": {"error": f"device unresponsive for {seconds:.0f}s "
                                 "(backend tunnel wedged?)"},
@@ -50,69 +66,96 @@ def _watchdog(seconds: float):
     return t
 
 
-def main():
-    import jax
+def _run_config(scene, reps, **overrides):
+    """Build a runner with `overrides`, solve the scene, return stats."""
+    import numpy as np
 
-    watchdog = _watchdog(45 * 60)
+    import jax.numpy as jnp
 
     from vggsfm_tpu.geometry.metrics import pose_auc30
     from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
-    from vggsfm_tpu.utils.synth import render_two_plane_scene
 
-    S, R = 8, 1024
-    scene = render_two_plane_scene(num_frames=S, image_size=R)
-    images = scene["images"]
-
-    cfg = RunnerConfig(img_size=R, query_frame_num=1, max_query_pts=4096,
-                       query_method="sift+harris", fine_tracking=True,
-                       comple_nonvis=False, robust_refine=2, ba_iters=2)
+    cfg = RunnerConfig(**overrides)
     runner = VGGSfMRunner(cfg)
 
     # device-resident frames: a production pipeline uploads each image
     # once (the axon tunnel inflates H2D to ~2 s/96 MB, which would
     # otherwise dominate the steady-state measurement)
-    import jax.numpy as jnp
-
-    images = jnp.asarray(images)
+    images = jnp.asarray(scene["images"])
+    S = int(images.shape[0])
 
     t0 = time.time()
     out = runner.sparse_reconstruct(images)
     compile_s = time.time() - t0
 
     times = []
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.time()
         out = runner.sparse_reconstruct(images)
         times.append(time.time() - t0)
     steady = float(np.median(times))
-    fps = S / steady
 
     valid_tracks = int(out["valid_tracks"].sum())
     auc30 = float(np.asarray(pose_auc30(out["extrinsics"],
                                         scene["extrinsics"])))
-
-    # correctness gate: a bench run that reconstructs nothing, or whose
-    # recovered poses don't match the planted cameras, reports 0 and
-    # exits nonzero — total pipeline failure can't masquerade as a perf
-    # number
-    watchdog.cancel()
     # gate at the demonstrated quality floor (AUC 1.0 since the
     # pose-refinement fixes; 0.85 leaves room for RNG drift only)
     ok = valid_tracks >= 100 and auc30 >= 0.85
-    print(json.dumps({
-        "metric": "sparse_8frame_e2e_frames_per_s",
-        "value": round(fps if ok else 0.0, 3),
-        "unit": "frames/s",
-        "vs_baseline": round((fps if ok else 0.0) / BASELINE_FPS, 2),
-        "detail": {"steady_s": round(steady, 3),
-                   "compile_s": round(compile_s, 1),
-                   "valid_tracks": valid_tracks,
-                   "auc30_vs_planted": round(auc30, 4),
-                   "n_query_pts": cfg.max_query_pts, "image": [R, R],
-                   "device": str(jax.devices()[0])},
-    }))
-    if not ok:
-        sys.exit(1)
+    return {"fps": S / steady, "steady_s": round(steady, 3),
+            "compile_s": round(compile_s, 1),
+            "valid_tracks": valid_tracks,
+            "auc30_vs_planted": round(auc30, 4), "ok": ok}
+
+
+def main():
+    watchdog = _watchdog(45 * 60)
+    t_start = time.time()
+    try:
+        import jax
+
+        from vggsfm_tpu.utils.synth import render_two_plane_scene
+
+        S, R = 8, 1024
+        scene = render_two_plane_scene(num_frames=S, image_size=R)
+
+        # HEADLINE: the reference's own 8-frame benchmark command
+        # (README.md:243-246): query_frame_num=8, max_query_pts=4096,
+        # query_method=aliked, fine tracking + comple_nonvis on.
+        matched = _run_config(
+            scene, reps=2, img_size=R, query_frame_num=8,
+            max_query_pts=4096, query_method="aliked",
+            fine_tracking=True, comple_nonvis=True,
+            robust_refine=2, ba_iters=2)
+
+        detail = {"matched_workload": matched,
+                  "workload": "query_frame_num=8 max_query_pts=4096 "
+                              "query_method=aliked (README.md:243-246)",
+                  "n_query_pts": 4096, "image": [R, R],
+                  "device": str(jax.devices()[0])}
+
+        # secondary: the light 1-query config benched in rounds 1-2,
+        # for round-over-round comparability. Skipped if the matched
+        # run left too little watchdog headroom.
+        if time.time() - t_start < 28 * 60:
+            light = _run_config(
+                scene, reps=2, img_size=R, query_frame_num=1,
+                max_query_pts=4096, query_method="sift+harris",
+                fine_tracking=True, comple_nonvis=False,
+                robust_refine=2, ba_iters=2)
+            detail["light_1query"] = light
+        else:
+            detail["light_1query"] = "skipped (watchdog headroom)"
+
+        watchdog.cancel()
+        fps = matched["fps"] if matched["ok"] else 0.0
+        _emit(fps, fps / BASELINE_FPS, detail, matched["ok"])
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — must emit JSON on ANY error
+        watchdog.cancel()
+        _emit(0.0, 0.0,
+              {"error": f"{type(e).__name__}: {e}",
+               "traceback": traceback.format_exc()[-1500:]}, ok=False)
 
 
 if __name__ == "__main__":

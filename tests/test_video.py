@@ -61,6 +61,14 @@ class TestVideoRadialOracle:
         _run_video_case("radial", tmp_path)
 
 
+class TestVideoDrift:
+    def test_per_window_ba_bounds_drift(self, tmp_path):
+        """60-frame sequence with joint BA only every 8 windows: the
+        per-window BA must keep inter-joint-BA drift bounded (fresh
+        subprocess; case body in tests/video_cases.py)."""
+        _run_video_case("drift", tmp_path)
+
+
 def _run_video_case(name: str, tmp_path):
     import subprocess
     import sys
@@ -70,6 +78,10 @@ def _run_video_case(name: str, tmp_path):
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_cpu_parallel_codegen_split_count=1"
                         + " --xla_cpu_use_thunk_runtime=false")
+    # the child must import vggsfm_tpu regardless of the parent shell:
+    # cwd=repo alone is not enough when pytest is run from an installed
+    # interpreter whose sys.path does not include "."
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     res = subprocess.run(
         [sys.executable, os.path.join(repo, "tests", "video_cases.py"),
          name, str(tmp_path / name)],

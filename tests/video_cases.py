@@ -102,12 +102,134 @@ def case_oracle(tmp_dir: str) -> None:
 
     runner._track_window = types.MethodType(spy_track, runner)
 
-    preds = runner.run(video, output_dir=tmp_dir)
+    # export fidelity: real filenames + non-square crop params (120x160
+    # originals resized to the square working resolution) + point colors
+    import os
+
+    from vggsfm_tpu.datasets.demo_loader import pad_and_resize_image
+    from vggsfm_tpu.io import read_model
+
+    names = [f"shot_{t:03d}.jpg" for t in range(T)]
+    one = pad_and_resize_image(
+        np.zeros((120, 160, 3), np.uint8), R_img)[2]
+    crop_params = np.tile(one, (T, 1))
+
+    preds = runner.run(video, output_dir=tmp_dir, image_names=names,
+                       crop_params=crop_params)
     assert preds["registered"].all()
     auc = pose_auc30(jnp.asarray(preds["extrinsics"]),
                      jnp.asarray(extr_gt, np.float32))
     assert float(auc) > 0.85, float(auc)
+
+    rec = read_model(os.path.join(tmp_dir, "sparse"))
+    im0 = rec.images[1]
+    assert im0.name == "shot_000.jpg", im0.name
+    cam0 = rec.cameras[im0.camera_id]
+    # intrinsics back in original pixel space: 160x120 camera, principal
+    # point at the original center
+    assert (cam0.width, cam0.height) == (160, 120)
+    assert abs(cam0.params[1] - 80) < 1e-6 and abs(
+        cam0.params[2] - 60) < 1e-6
+    # point colors sampled from the frames, not zero-filled
+    rgbs = np.stack([p.rgb for p in rec.points3D.values()])
+    assert (rgbs.sum(axis=1) > 0).mean() > 0.5
     print("ORACLE_OK", float(auc))
+
+
+def case_drift(tmp_dir: str) -> None:
+    """60-frame orbit with joint BA every 8 windows: the incremental
+    machinery (PnP + pose refine + per-window BA, parity: reference
+    windowed BA video_runner.py:800-836) must keep drift bounded over a
+    long sequence. The window-BA freeze semantics are unit-tested in
+    tests/test_window_ba.py."""
+    _setup_cpu()
+    import jax.numpy as jnp
+
+    from vggsfm_tpu.geometry.metrics import pose_auc30
+    from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+    from vggsfm_tpu.video import VideoConfig, VideoRunner
+
+    rng = np.random.default_rng(7)
+    T, R_img, N = 60, 128, 500
+    f = float(R_img)
+    K = np.array([[f, 0, R_img / 2], [0, f, R_img / 2], [0, 0, 1.0]])
+    # orbit scene: cameras circle a point cloud at constant radius so
+    # every frame keeps the cloud in view across all 60 frames
+    C = np.array([0.0, 0.0, 8.0])
+    X = C + rng.uniform([-2.5, -2.5, -2.0], [2.5, 2.5, 2.0], size=(N, 3))
+    extr_gt = np.zeros((T, 3, 4))
+    for t in range(T):
+        th = 0.02 * t
+        p = C + 8.0 * np.array([np.sin(th), 0.08 * np.sin(3 * th),
+                                -np.cos(th)])
+        z = C - p
+        z = z / np.linalg.norm(z)
+        x = np.cross([0.0, 1.0, 0.0], z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        Rm = np.stack([x, y, z])
+        extr_gt[t, :, :3] = Rm
+        extr_gt[t, :, 3] = -Rm @ p
+
+    def project(t, pts):
+        Xc = (extr_gt[t, :, :3] @ pts.T).T + extr_gt[t, :, 3]
+        uv = (K @ Xc.T).T
+        return uv[:, :2] / uv[:, 2:]
+
+    video = rng.uniform(size=(T, R_img, R_img, 3)).astype(np.float32)
+
+    scfg = RunnerConfig(img_size=R_img, query_frame_num=1,
+                        max_query_pts=64, query_method="harris",
+                        fine_tracking=False, comple_nonvis=False,
+                        robust_refine=0, ba_iters=1)
+    vcfg = VideoConfig(init_window_size=4, window_size=3,
+                       joint_ba_interval=8, max_query_pts=128,
+                       query_method="harris", min_inlier_per_frame=10)
+    runner = VideoRunner(VGGSfMRunner(scfg), vcfg)
+
+    def oracle_init(images_init, **kw):
+        S0 = images_init.shape[0]
+        track = np.stack([project(t, X) for t in range(S0)])
+        track += rng.normal(scale=0.3, size=track.shape)
+        return {
+            "extrinsics": extr_gt[:S0].astype(np.float32),
+            "intrinsics": np.tile(K, (S0, 1, 1)).astype(np.float32),
+            "points3d": X.astype(np.float32),
+            "valid_tracks": np.ones(N, bool),
+            "valid_2d_mask": np.ones((S0, N), bool),
+            "pred_track": track[None].astype(np.float32),
+        }
+
+    runner.r.sparse_reconstruct = oracle_init
+
+    def oracle_track(images_w, query_xy, frames_w=[None]):
+        Sw = images_w.shape[0]
+        Nq = len(query_xy)
+        tr = np.zeros((Sw, Nq, 2), np.float32)
+        vis = np.zeros((Sw, Nq), np.float32)
+        q = oracle_track.frames[0]
+        proj_q = project(q, X)
+        d = np.linalg.norm(query_xy[:, None] - proj_q[None], axis=-1)
+        nearest = d.argmin(1)
+        matched = d.min(1) < 2.0
+        for i, t in enumerate(oracle_track.frames):
+            tr[i] = project(t, X)[nearest]
+            tr[i] += rng.normal(scale=0.3, size=tr[i].shape)
+            vis[i] = matched.astype(np.float32)
+        return tr, vis
+
+    def spy_track(self, images_w, query_xy, frames_w=None):
+        oracle_track.frames = list(frames_w)
+        return oracle_track(images_w, np.asarray(query_xy))
+
+    runner._track_window = types.MethodType(spy_track, runner)
+
+    preds = runner.run(video, output_dir=None)
+    assert preds["registered"].all()
+    auc = pose_auc30(jnp.asarray(preds["extrinsics"]),
+                     jnp.asarray(extr_gt, np.float32))
+    assert float(auc) > 0.85, float(auc)
+    print("DRIFT_OK", float(auc))
 
 
 def case_radial(tmp_dir: str) -> None:
@@ -211,4 +333,5 @@ if __name__ == "__main__":
 
     case = sys.argv[1]
     out = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp()
-    {"oracle": case_oracle, "radial": case_radial}[case](out)
+    {"oracle": case_oracle, "radial": case_radial,
+     "drift": case_drift}[case](out)

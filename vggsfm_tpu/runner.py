@@ -597,6 +597,19 @@ class VGGSfMRunner:
             "timings": timings,
             "total_time": time.time() - t_start,
         }
+        # gauge-normalize (reference: filter_reconstruction ->
+        # reconstruction.normalize(5.0, 0.1, 0.9, True) after every
+        # global BA, utils/triangulation.py:1052/1144/1199/1212-1218);
+        # runs before extra points / dense depth so every downstream
+        # consumer sees one coordinate frame
+        from vggsfm_tpu.sfm.normalize import normalize_reconstruction
+
+        # device_get hands back read-only arrays; normalization mutates
+        predictions["extrinsics"] = np.array(predictions["extrinsics"])
+        predictions["points3d"] = np.array(predictions["points3d"])
+        normalize_reconstruction(
+            predictions["extrinsics"], predictions["points3d"],
+            registered=predictions.get("valid_frame_mask"))
         if cfg.extra_pt_pixel_interval > 0:
             # one grid point per interval^2 pixel cell (reference
             # runner.py:650-660 builds the same pixel-interval grid)

@@ -14,6 +14,7 @@ leave the validity window.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from vggsfm_tpu.ba import BAConfig, bundle_adjust
@@ -109,7 +110,23 @@ def refine_poses(extrinsics, intrinsics, points3d, tracks, obs_mask,
         #      (observed 1.4x/round up to 12x on the oracle scene).
         from vggsfm_tpu.twoview.pnp import absolute_pose_ransac
 
-        pts_b = jnp.broadcast_to(points3d[None], (S,) + points3d.shape)
+        # cap the PnP problem size: pose estimation saturates statistically
+        # long before 8k correspondences, and the RANSAC residual tensors
+        # scale as S * f_trials * ransac_iters * N (a 32k-track problem
+        # OOMed a 16 GB chip). A fixed random subset keeps shapes static.
+        pnp_cap = 8192
+        N_all = points3d.shape[0]
+        if N_all > pnp_cap:
+            sub = jax.random.permutation(
+                jax.random.fold_in(pnp_key, 1), N_all)[:pnp_cap]
+            points3d_p = points3d[sub]
+            tracks_p = tracks[:, sub]
+            obs_mask_p = obs_mask[:, sub]
+        else:
+            points3d_p, tracks_p, obs_mask_p = points3d, tracks, obs_mask
+
+        pts_b = jnp.broadcast_to(points3d_p[None],
+                                 (S,) + points3d_p.shape)
         err_lm = _frame_reproj_error(extr_o, intr_o, points3d, tracks,
                                      obs_mask)
 
@@ -120,8 +137,8 @@ def refine_poses(extrinsics, intrinsics, points3d, tracks, obs_mask,
             return (jnp.sum((z > 0) * w, axis=1)
                     / jnp.maximum(jnp.sum(w, axis=1), 1.0))
 
-        pnp = absolute_pose_ransac(pts_b, tracks, intrinsics, pnp_key,
-                                   valid_mask=obs_mask, f_trials=1)
+        pnp = absolute_pose_ransac(pts_b, tracks_p, intrinsics, pnp_key,
+                                   valid_mask=obs_mask_p, f_trials=1)
         pnp_valid = camera_validity_mask(
             pnp["intrinsics"], pnp["extrinsics"], image_size)
         # near-planar point sets admit a flipped PnP pose whose ROBUST
@@ -144,8 +161,8 @@ def refine_poses(extrinsics, intrinsics, points3d, tracks, obs_mask,
 
         if not shared_intrinsics:
             # focal unknown only where the camera is still invalid
-            pnp_f = absolute_pose_ransac(pts_b, tracks, intrinsics,
-                                         pnp_key, valid_mask=obs_mask,
+            pnp_f = absolute_pose_ransac(pts_b, tracks_p, intrinsics,
+                                         pnp_key, valid_mask=obs_mask_p,
                                          f_trials=17)
             pnp_f_valid = camera_validity_mask(
                 pnp_f["intrinsics"], pnp_f["extrinsics"], image_size)

@@ -46,19 +46,8 @@ def generate_focal_factors(num_samples: int = 50,
     return np.asarray(out, np.float32)
 
 
-@f32_matmuls
-def solve_pnp_dlt(points3D: jax.Array, points2D_norm: jax.Array,
-                  weights: jax.Array | None = None) -> jax.Array:
-    """DLT absolute pose from >= 6 correspondences, batched.
-
-    Args:
-      points3D: (..., P, 3) world points.
-      points2D_norm: (..., P, 2) *normalized* (K-free) image points.
-      weights: optional (..., P) mask/weights.
-
-    Returns (..., 3, 4) world->cam with R projected to SO(3) and
-    translation rescaled consistently.
-    """
+def _dlt_normal_matrix(points3D, points2D_norm, weights):
+    """Accumulate the 12x12 DLT normal matrix AᵀA for one point block."""
     ones = jnp.ones_like(points3D[..., :1])
     Xh = jnp.concatenate([points3D, ones], axis=-1)  # (..., P, 4)
     u = points2D_norm[..., 0:1]
@@ -71,12 +60,59 @@ def solve_pnp_dlt(points3D: jax.Array, points2D_norm: jax.Array,
     if weights is not None:
         w = jnp.concatenate([weights, weights], axis=-1)[..., None]
         A = A * w
-    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    return jnp.einsum("...ni,...nj->...ij", A, A)
+
+
+@f32_matmuls
+def solve_pnp_dlt(points3D: jax.Array, points2D_norm: jax.Array,
+                  weights: jax.Array | None = None,
+                  point_chunk: int | None = None) -> jax.Array:
+    """DLT absolute pose from >= 6 correspondences, batched.
+
+    Args:
+      points3D: (..., P, 3) world points.
+      points2D_norm: (..., P, 2) *normalized* (K-free) image points.
+      weights: optional (..., P) mask/weights.
+      point_chunk: stream the AᵀA accumulation over point blocks of this
+        size — bounds peak memory to one block's (..., 2*chunk, 12) design
+        matrix instead of the full point set's.
+
+    Returns (..., 3, 4) world->cam with R projected to SO(3) and
+    translation rescaled consistently.
+    """
+    P = points3D.shape[-2]
+    if point_chunk is not None and P > point_chunk:
+        n_c = -(-P // point_chunk)
+        pad = n_c * point_chunk - P
+        w_full = (jnp.ones(points3D.shape[:-1], points3D.dtype)
+                  if weights is None else weights)
+
+        def pad_pts(x):
+            widths = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
+            return jnp.pad(x, widths)
+
+        p3p = pad_pts(points3D)
+        p2p = pad_pts(points2D_norm)
+        wp = jnp.pad(w_full, [(0, 0)] * (w_full.ndim - 1) + [(0, pad)])
+
+        def split(x):  # (..., n_c*Pc, d) -> (n_c, ..., Pc, d)
+            y = x.reshape(x.shape[:-2] + (n_c, point_chunk, x.shape[-1]))
+            return jnp.moveaxis(y, -3, 0)
+
+        wsplit = jnp.moveaxis(
+            wp.reshape(wp.shape[:-1] + (n_c, point_chunk)), -2, 0)
+        AtA = jnp.sum(jax.lax.map(
+            lambda a: _dlt_normal_matrix(*a),
+            (split(p3p), split(p2p), wsplit)), axis=0)
+    else:
+        AtA = _dlt_normal_matrix(points3D, points2D_norm, weights)
     p = smallest_eigenvector(AtA, num_sweeps=10)  # (..., 12)
     P_mat = p.reshape(p.shape[:-1] + (3, 4))
 
     # the nullspace sign is arbitrary: resolve by cheirality — the majority
     # of (weighted) points must land at positive depth
+    Xh = jnp.concatenate([points3D, jnp.ones_like(points3D[..., :1])],
+                         axis=-1)
     z = jnp.einsum("...j,...pj->...p", P_mat[..., 2, :], Xh)
     zsign = jnp.sign(z)
     if weights is not None:
@@ -156,18 +192,46 @@ def absolute_pose_ransac(
     p2_s = jnp.take(p2f, sample_idx, axis=1)
     pose_cand = solve_pnp_dlt(p3_s, p2_s)  # (BF, R, 3, 4)
 
-    res = _reproj_residuals(pose_cand, p3f[:, None], p2f[:, None])
-    res = jnp.where(vf[:, None], res, BIG_RESIDUAL)
-    res = jnp.where(trial_valid[None, :, None], res, BIG_RESIDUAL)
-    inl = res <= thres_bf[:, None, None]
-    num = jnp.sum(inl, axis=-1)  # (BF, R)
+    # counting pass streamed over trial chunks: materializing the full
+    # (BF, R, P, 3) camera-space tensor OOMs at production sizes (observed
+    # 12.75 GB at BF=136, R=256, P=32768 on a 16 GB chip); only the
+    # per-trial inlier COUNT is needed before top-k, so stream it
+    trial_chunk = min(32, max_ransac_iters)
+    n_tc = -(-max_ransac_iters // trial_chunk)
+    pad_r = n_tc * trial_chunk - max_ransac_iters
+    pose_pad = jnp.pad(pose_cand, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
+    tv_pad = jnp.pad(trial_valid, (0, pad_r))
+    pose_ch = jnp.moveaxis(
+        pose_pad.reshape(B * F, n_tc, trial_chunk, 3, 4), 1, 0)
+    tv_ch = tv_pad.reshape(n_tc, trial_chunk)
+
+    def _count(args):
+        pose_c, tv_c = args
+        r = _reproj_residuals(pose_c, p3f[:, None], p2f[:, None])
+        r = jnp.where(vf[:, None], r, BIG_RESIDUAL)
+        r = jnp.where(tv_c[None, :, None], r, BIG_RESIDUAL)
+        return jnp.sum(r <= thres_bf[:, None, None], axis=-1)
+
+    num = jnp.moveaxis(jax.lax.map(_count, (pose_ch, tv_ch)),
+                       0, 1).reshape(B * F, n_tc * trial_chunk)
+    num = num[:, :max_ransac_iters]  # (BF, R)
 
     _, sel = jax.lax.top_k(num, lo_num)
-    inl_sel = jnp.take_along_axis(inl, sel[..., None], axis=1)  # (BF,lo,P)
+    # recompute inliers only for the selected candidates (BF, lo, P)
+    pose_sel = jnp.take_along_axis(
+        pose_cand, sel[..., None, None], axis=1)
+    res_sel = _reproj_residuals(pose_sel, p3f[:, None], p2f[:, None])
+    res_sel = jnp.where(vf[:, None], res_sel, BIG_RESIDUAL)
+    tv_sel = jnp.take_along_axis(
+        jnp.broadcast_to(trial_valid[None], (B * F, max_ransac_iters)),
+        sel, axis=1)
+    res_sel = jnp.where(tv_sel[..., None], res_sel, BIG_RESIDUAL)
+    inl_sel = res_sel <= thres_bf[:, None, None]  # (BF, lo, P)
 
     p3_lo = jnp.broadcast_to(p3f[:, None], (B * F, lo_num, P, 3))
     p2_lo = jnp.broadcast_to(p2f[:, None], (B * F, lo_num, P, 2))
-    pose_lo = solve_pnp_dlt(p3_lo, p2_lo, inl_sel.astype(p3f.dtype))
+    pose_lo = solve_pnp_dlt(p3_lo, p2_lo, inl_sel.astype(p3f.dtype),
+                            point_chunk=2048)
 
     res_lo = _reproj_residuals(pose_lo, p3f[:, None], p2f[:, None])
     res_lo = jnp.where(vf[:, None], res_lo, BIG_RESIDUAL)

@@ -284,12 +284,16 @@ class VideoRunner:
 
     def run(self, images: np.ndarray, output_dir: str | None = None,
             resume_from: str | None = None,
-            checkpoint_path: str | None = None):
+            checkpoint_path: str | None = None,
+            image_names: list | None = None,
+            crop_params: np.ndarray | None = None):
         """images: (T, R, R, 3) in [0, 1]. Returns predictions dict.
 
         `resume_from` restores a prior `checkpoint_path` state and
         continues from its window cursor; `checkpoint_path` saves state
-        after every joint BA.
+        after every joint BA. `image_names`/`crop_params` flow to the
+        COLMAP export (real filenames + original-resolution rescale,
+        parity: video_runner.py:198-206 back_to_original_resolution).
         """
         cfg = self.cfg
         T, R_img = images.shape[0], images.shape[1]
@@ -430,6 +434,22 @@ class VideoRunner:
             pts_new = np.asarray(pts_new)
             inl_mask = np.asarray(inl_mask).T  # (Sw, Nf)
             keep = np.asarray(inl_num) >= 2
+            pts_new = np.where(keep[:, None], pts_new, 0.0)
+
+            # ---- per-window BA: jointly polish the window's new poses and
+            # new points against the tracked observations, with the query
+            # pose and all pre-existing map points held constant (parity:
+            # video_runner.py:800-836 — set_constant_cam_pose on frame 0 +
+            # add_constant_point on old ids, refine_focal/extra off)
+            if n_map >= 6 and keep.any():
+                extr_w_ba, pts_new = self._window_ba(
+                    extrinsics[frames_w], intrinsics[frames_w],
+                    None if extra is None else extra[frames_w],
+                    X_map, map_tracks, map_vis, pts_new, fresh_tracks,
+                    inl_mask & keep[None], keep)
+                for i, fidx in enumerate(frames_w[1:], start=1):
+                    extrinsics[fidx] = extr_w_ba[i]
+
             new_ids = reg.add_points(pts_new[keep])
             fr_i, pv_i = np.nonzero(inl_mask[:, keep])
             frame_lookup = np.asarray(frames_w)
@@ -447,28 +467,100 @@ class VideoRunner:
                                          intrinsics, registered, end,
                                          windows_done, extra=extra)
 
+        colors = self._point_colors(images, reg)
         predictions = {
             "extrinsics": extrinsics,
             "intrinsics": intrinsics,
             "extra_params": extra,
             "points3d": reg.xyz,
+            "colors": colors,
             "registered": registered,
             "num_points": reg.num_points,
             "num_observations": len(reg.obs_frame),
         }
         if output_dir is not None:
-            self._export(predictions, reg, (W, H), output_dir)
+            self._export(predictions, reg, (W, H), output_dir,
+                         image_names=image_names, crop_params=crop_params)
         return predictions
+
+    @staticmethod
+    def _point_colors(images, reg) -> np.ndarray:
+        """Per-point RGB sampled at each point's earliest observation
+        (parity: video_runner.py:189-246 `_update_points_color`, which
+        re-samples frame pixels at the reconstructed points' projections —
+        here the stored observation pixel, the same location post-BA)."""
+        images = np.asarray(images)
+        P = reg.num_points
+        colors = np.zeros((P, 3), np.float32)
+        if P == 0 or len(reg.obs_frame) == 0:
+            return colors
+        first = np.full((P,), -1, np.int64)
+        rev = np.arange(len(reg.obs_point))[::-1]
+        first[reg.obs_point[rev]] = rev  # earliest observation wins
+        have = first >= 0
+        f = reg.obs_frame[first[have]]
+        xy = np.rint(reg.obs_xy[first[have]]).astype(np.int64)
+        H, W = images.shape[1:3]
+        x = np.clip(xy[:, 0], 0, W - 1)
+        y = np.clip(xy[:, 1], 0, H - 1)
+        colors[have] = images[f, y, x]
+        return colors
 
     # ------------------------------------------------------------------
 
+    def _window_ba(self, extr_w, intr_w, extra_w, X_map, map_tracks,
+                   map_vis, pts_new, fresh_tracks, fresh_mask, keep):
+        """Windowed BA over one window's observations.
+
+        Frees the window's new poses and freshly triangulated points;
+        freezes the query pose (row 0), every pre-existing map point, and
+        the intrinsics — the reference's exact pyceres configuration
+        (video_runner.py:813-831: constant cam pose on frame 0, constant
+        old points, refine_focal_length=False, refine_extra_params=False).
+        Fixed shapes: the point axis is the full (map budget + fresh
+        budget) lane set; masked lanes carry zero Jacobians.
+
+        Returns (optimized window extrinsics, optimized new points).
+        """
+        Sw = extr_w.shape[0]
+        budget = X_map.shape[0]
+        tracks_ba = np.concatenate([map_tracks, fresh_tracks], axis=1)
+        mask_ba = np.concatenate([map_vis, fresh_mask], axis=1)
+        X_ba = np.concatenate([X_map, pts_new], axis=0)
+        point_free = np.concatenate([np.zeros(budget, bool), keep])
+        pose_free = np.ones((Sw,), bool)
+        pose_free[0] = False
+        cfg = BAConfig(max_iterations=10, refine_focal=False,
+                       refine_extra=False, robust_loss="cauchy",
+                       loss_scale=2.0)
+        extr_o, _, _, X_o, _ = bundle_adjust(
+            jnp.asarray(extr_w), jnp.asarray(intr_w), jnp.asarray(X_ba),
+            jnp.asarray(tracks_ba), jnp.asarray(mask_ba),
+            extra_params=(None if extra_w is None
+                          else jnp.asarray(extra_w)),
+            pose_free=jnp.asarray(pose_free),
+            point_free=jnp.asarray(point_free), cfg=cfg)
+        return np.asarray(extr_o), np.asarray(X_o)[budget:]
+
     def _joint_ba(self, extrinsics, intrinsics, reg: MapRegistry,
                   registered, extra=None):
-        """Sparse LM over all registered frames + map points."""
+        """Sparse LM over all registered frames + map points.
+
+        Wrapped in the reference's joint-BA hygiene (video_runner.py
+        :494-541): gauge-normalize the reconstruction, solve, cull
+        observations by reprojection error / depth / triangulation angle
+        (`filter_all_points3D(2.0, 1.5)`), normalize again.
+        """
+        from vggsfm_tpu.sfm.normalize import (
+            filter_map_observations,
+            normalize_reconstruction,
+        )
+
         T = extrinsics.shape[0]
         P = reg.num_points
         if P == 0 or len(reg.obs_frame) == 0:
             return
+        normalize_reconstruction(extrinsics, reg.xyz, registered)
         pose_free = jnp.asarray(registered & (np.arange(T) != 0))
         # a video sequence is one physical camera: tie the focal step
         # across frames (reference: shared pycolmap camera in joint_BA,
@@ -493,8 +585,17 @@ class VideoRunner:
         if extra is not None and extra_o is not None:
             extra[:] = np.asarray(extra_o)
         reg.xyz = np.asarray(X)
+        filter_map_observations(reg, extrinsics, intrinsics, extra,
+                                max_reproj_error=2.0, min_tri_angle=1.5)
+        normalize_reconstruction(extrinsics, reg.xyz, registered)
 
-    def _export(self, predictions, reg, image_size, output_dir):
+    def _export(self, predictions, reg, image_size, output_dir,
+                image_names=None, crop_params=None):
+        """COLMAP export: real filenames, per-point colors, and (with
+        crop_params) intrinsics/points2D mapped back to original image
+        coordinates — parity with the sparse runner's export and the
+        reference's back_to_original_resolution path
+        (video_runner.py:198-206, runners/runner.py:1009-1052)."""
         import os
 
         from vggsfm_tpu.io.colmap import (
@@ -513,22 +614,42 @@ class VideoRunner:
             ps.append(p)
         cam_type = self.cfg.camera_type
         extra = predictions.get("extra_params")
+        colors = predictions.get("colors")
+        rgb255 = (np.zeros((reg.num_points, 3), np.uint8) if colors is None
+                  else np.clip(np.asarray(colors) * 255, 0,
+                               255).astype(np.uint8))
+        shared = self.cfg.shared_camera
         for t in range(T):
-            cameras[t + 1] = Camera(
-                t + 1, cam_type, image_size[0], image_size[1],
-                _camera_params(cam_type, predictions["intrinsics"][t],
-                               None if extra is None else extra[t]))
+            cam_id = 1 if shared else t + 1
+            if cam_id not in cameras:
+                # one physical camera across the sequence when shared
+                # (reference: shared pycolmap camera, video_runner.py)
+                cameras[cam_id] = Camera(
+                    cam_id, cam_type, image_size[0], image_size[1],
+                    _camera_params(cam_type, predictions["intrinsics"][t],
+                                   None if extra is None else extra[t]))
             xs, ps = per_image[t]
+            name = (image_names[t] if image_names is not None
+                    else f"frame_{t:05d}.png")
             images_d[t + 1] = Image(
                 t + 1, _matrix_to_quat(predictions["extrinsics"][t, :, :3]),
-                predictions["extrinsics"][t, :, 3].copy(), t + 1,
-                f"frame_{t:05d}.png",
+                predictions["extrinsics"][t, :, 3].copy(), cam_id,
+                name,
                 np.asarray(xs).reshape(-1, 2),
                 np.asarray(ps, np.int64))
         for p, track in point_tracks.items():
             ims = np.asarray([a for a, _ in track], np.int32)
             idxs = np.asarray([b for _, b in track], np.int32)
-            points[p] = Point3D(p, reg.xyz[p], np.zeros(3, np.uint8), 0.0,
+            points[p] = Point3D(p, reg.xyz[p], rgb255[p], 0.0,
                                 ims, idxs)
-        write_model(Reconstruction(cameras, images_d, points),
-                    os.path.join(output_dir, "sparse"), ext=".bin")
+        rec = Reconstruction(cameras, images_d, points)
+        if crop_params is not None:
+            from vggsfm_tpu.io.bridge import (
+                rescale_reconstruction_to_original,
+            )
+
+            rec = rescale_reconstruction_to_original(
+                rec, crop_params, self.r.cfg.img_size,
+                image_names=image_names,
+                shared_camera=self.cfg.shared_camera)
+        write_model(rec, os.path.join(output_dir, "sparse"), ext=".bin")

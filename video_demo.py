@@ -59,7 +59,9 @@ def main(argv=None):
     out_dir = args.output or args.scene_dir
     preds = runner.run(data["images"], output_dir=out_dir,
                        resume_from=args.resume,
-                       checkpoint_path=args.state_checkpoint)
+                       checkpoint_path=args.state_checkpoint,
+                       image_names=data["image_names"],
+                       crop_params=data["crop_params"])
     print(json.dumps({
         "frames": int(preds["extrinsics"].shape[0]),
         "registered": int(preds["registered"].sum()),
