@@ -35,7 +35,7 @@ class TestDistributedBA:
             jnp.asarray(w), cfg=cfg)
 
         mesh = make_mesh(8, frames_axis=1)  # all 8 devices on `points`
-        extr_o, intr_o, X_o, cost = distributed_bundle_adjust(
+        extr_o, intr_o, _, X_o, cost = distributed_bundle_adjust(
             mesh, extr_n, intr, X_n, fr, pt, xy, w, cfg=cfg)
 
         # psum reassociation vs the single-device sum order: ~1e-4-level
@@ -55,7 +55,7 @@ class TestDistributedBA:
         assert len(fr) % 8 != 0
         cfg = SparseBAConfig(max_iterations=4, refine_focal=False)
         mesh = make_mesh(8, frames_axis=1)
-        extr_o, _, X_o, _ = distributed_bundle_adjust(
+        extr_o, _, _, X_o, _ = distributed_bundle_adjust(
             mesh, extr, intr, X, fr, pt, xy, w, cfg=cfg)
         # already at the optimum: the solve must stay there
         np.testing.assert_allclose(np.asarray(extr_o), extr, atol=1e-4)

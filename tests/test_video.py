@@ -69,6 +69,15 @@ class TestVideoDrift:
         _run_video_case("drift", tmp_path)
 
 
+class TestVideoMultihost:
+    def test_two_process_blocks_merge_and_register_all(self, tmp_path):
+        """2-PROCESS multi-host video: each process owns a contiguous
+        frame block against the shared initial map, host 0 merges the
+        partial maps (id offsets + duplicate fusion) and joint-BAs the
+        whole sequence (fresh subprocesses; tests/video_cases.py)."""
+        _run_video_case("multihost", tmp_path)
+
+
 def _run_video_case(name: str, tmp_path):
     import subprocess
     import sys

@@ -58,11 +58,22 @@ def multiview_dlt(
     ones = jnp.ones_like(points[..., :1])
     homo = jnp.concatenate([points, ones], axis=-1)
     ray = homo / jnp.linalg.norm(homo, axis=-1, keepdims=True)
-    outer = ray[..., :, None] * ray[..., None, :]  # (..., M, 3, 3)
-    terms = cams_from_world - outer @ cams_from_world  # (..., M, 3, 4)
+    # A = Σ_m w_m² [P_mᵀP_m − (P_mᵀ r_m)(P_mᵀ r_m)ᵀ]: the projector
+    # (I − r rᵀ) is symmetric idempotent, so the normal matrix contracts
+    # the view axis directly on the MXU. The naive form materializes the
+    # per-view (..., M, 3, 4) residual tensor, whose trailing tiny dims
+    # tile to (8, 128) on TPU — a 42x padding blowup that OOMed compiles
+    # at production track counts.
+    b = jnp.einsum("...ij,...i->...j", cams_from_world, ray)  # (..., M, 4)
     if mask is not None:
-        terms = terms * mask[..., None, None]
-    A = jnp.einsum("...mij,...mik->...jk", terms, terms)  # (..., 4, 4)
+        w = (mask * mask)[..., None]
+        CtC = jnp.einsum("...mij,...mik,...m->...jk",
+                         cams_from_world, cams_from_world, mask * mask)
+        A = CtC - jnp.einsum("...mj,...mk->...jk", b * w, b)
+    else:
+        CtC = jnp.einsum("...mij,...mik->...jk",
+                         cams_from_world, cams_from_world)
+        A = CtC - jnp.einsum("...mj,...mk->...jk", b, b)
     v = smallest_eigenvector(A)
     w = v[..., 3:4]
     w = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
@@ -161,8 +172,8 @@ def triangulate_by_pair(extrinsics: jax.Array, tracks_normalized: jax.Array):
     # -> per (pair, track): M=2 views
     cams = pair_extr[:, None, :, :, :]  # (S-1,1,2,3,4)
     pts = jnp.swapaxes(pair_pts, 1, 2)  # (S-1,N,2views,2) after transpose
+    points3d = multiview_dlt(cams, pts)  # cams broadcast via einsum
     cams = jnp.broadcast_to(cams, (S - 1, N, 2, 3, 4))
-    points3d = multiview_dlt(cams, pts)
     invalid = cheirality_invalid(cams, points3d)
     angles = triangulation_angles(cams, points3d)[..., 0, 1]
     return points3d, ~invalid, angles
@@ -232,7 +243,11 @@ def _local_refine(
     pts = jnp.broadcast_to(tracks_nt[:, None], (N, lo_num, S, 2))
     pts = pts * lo_mask[..., None]
 
-    lo_points = multiview_dlt(cams, pts, mask=lo_mask.astype(pts.dtype))
+    # pass the UNBROADCAST cameras: multiview_dlt's einsums broadcast the
+    # (1, 1, S, 3, 4) operand against the (N, lo, S) batch without ever
+    # materializing an (N, lo, S, 3, 4) tensor
+    lo_points = multiview_dlt(extrinsics[None, None], pts,
+                              mask=lo_mask.astype(pts.dtype))
     angles = triangulation_angles(cams, lo_points)  # (N, lo, S, S)
     tri_ok = jnp.any(
         angles.reshape(N, lo_num, S * S) >= min_tri_angle, axis=-1
@@ -291,7 +306,7 @@ def triangulate_tracks_chunk(
     pair_extr = extrinsics[ransac_pairs]  # (R, 2, 3, 4)
     pair_pts = tracks_nt[:, ransac_pairs, :]  # (N, R, 2 views, 2)
     cams = jnp.broadcast_to(pair_extr[None], (N, R, 2, 3, 4))
-    tri_points = multiview_dlt(cams, pair_pts)  # (N, R, 3)
+    tri_points = multiview_dlt(pair_extr[None], pair_pts)  # (N, R, 3)
     pair_angles = triangulation_angles(cams, tri_points)[..., 0, 1]
     tri_ok = pair_angles >= min_tri_angle
     che_invalid = cheirality_invalid(cams, tri_points)
@@ -343,7 +358,13 @@ def triangulate_tracks(
     lo_num: int = 50,
     max_angular_error: float = 2.0,
     min_tri_angle: float = 1.5,
-    max_tri_points_num: int = 819_200,
+    # points-x-frames budget per compiled chunk. The reference's 819200
+    # (triangulation.py:686, sized for a 32 GB GPU) translates poorly to
+    # TPU: every (tracks, trials, 4, 4) normal-matrix/eigensolver tensor
+    # tiles its trailing dims to (8, 128), a ~32x padding expansion, so
+    # the working set per track is dominated by padding. 32768 keeps the
+    # padded peak under ~4 GB at S=8 while each chunk still fills the MXU.
+    max_tri_points_num: int = 32_768,
     seed: int = 0,
 ):
     """Triangulate all tracks, chunking the track axis to bound memory.

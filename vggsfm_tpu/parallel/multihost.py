@@ -80,6 +80,7 @@ def distributed_bundle_adjust(
     obs_point,
     obs_xy,
     obs_weight,
+    extra_params=None,
     pose_free=None,
     cfg: SparseBAConfig = SparseBAConfig(),
     axis: str = "points",
@@ -88,7 +89,7 @@ def distributed_bundle_adjust(
 
     Pads the observation lists to a multiple of the axis size (weight-0
     padding is inert, tested), shard_maps the solver, and returns the
-    replicated (extrinsics, intrinsics, extra, points3d, info).
+    replicated (extrinsics, intrinsics, extra | None, points3d, cost).
     """
     n = mesh.shape[axis]
     O = len(obs_frame)
@@ -108,32 +109,38 @@ def distributed_bundle_adjust(
     P_ = points3d.shape[0]
     if pose_free is None:
         pose_free = jnp.arange(S) != 0
+    has_extra = extra_params is not None
+    extra_in = (jnp.asarray(extra_params) if has_extra
+                else jnp.zeros((S, 0), jnp.float32))
 
     fn = partial(bundle_adjust_sparse, cfg=cfg, num_frames=S,
                  num_points=P_, axis_name=axis)
 
-    def body(extr, intr, X, of, op, oxy, ow, pf):
-        out = fn(extr, intr, X, of, op, oxy, ow, pose_free=pf)
-        extr_o, intr_o, extra, X_o, info = out
-        return extr_o, intr_o, X_o, info["final_cost"]
+    def body(extr, intr, X, of, op, oxy, ow, pf, ext):
+        out = fn(extr, intr, X, of, op, oxy, ow,
+                 extra_params=(ext if has_extra else None), pose_free=pf)
+        extr_o, intr_o, extra_o, X_o, info = out
+        if extra_o is None:
+            extra_o = jnp.zeros((S, 0), jnp.float32)
+        return extr_o, intr_o, extra_o, X_o, info["final_cost"]
 
     # the shard_map MUST go through jit: called eagerly it re-traces and
     # dispatches per call (measured 2.7x slower at N=1 than the plain
     # jitted solver). Cache per (mesh, shapes, cfg) signature.
     key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
-           S, P_, len(obs_frame), cfg, axis)
+           S, P_, len(obs_frame), cfg, axis, has_extra)
     mapped = _MAPPED_CACHE.get(key)
     if mapped is None:
         mapped = jax.jit(jax.shard_map(
             body, mesh=mesh,
             in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
-                      P()),
-            out_specs=(P(), P(), P(), P()),
+                      P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
             check_vma=False))
         _MAPPED_CACHE[key] = mapped
-    extr_o, intr_o, X_o, cost = mapped(
+    extr_o, intr_o, extra_o, X_o, cost = mapped(
         jnp.asarray(extrinsics), jnp.asarray(intrinsics),
         jnp.asarray(points3d), jnp.asarray(obs_frame),
         jnp.asarray(obs_point), jnp.asarray(obs_xy),
-        jnp.asarray(obs_weight), jnp.asarray(pose_free))
-    return extr_o, intr_o, X_o, cost
+        jnp.asarray(obs_weight), jnp.asarray(pose_free), extra_in)
+    return extr_o, intr_o, (extra_o if has_extra else None), X_o, cost

@@ -65,6 +65,13 @@ class VideoConfig:
     # the incremental map (PnP registers on undistorted pixels; the
     # joint BA refines k, tied when shared_camera)
     camera_type: str = "SIMPLE_PINHOLE"
+    # shard the joint BA's observation lists over this many devices via
+    # shard_map (parallel/multihost.py distributed_bundle_adjust);
+    # <= 1 keeps the plain single-device solver
+    distributed_ba_devices: int = 0
+    # 3D cell size for duplicate-track fusion at the multi-host map merge
+    # (parallel/merge.py fuse_duplicate_points)
+    merge_fuse_tol: float = 0.02
 
 
 class MapRegistry:
@@ -282,76 +289,44 @@ class VideoRunner:
                 st["registered"].copy(), int(st["end"]),
                 int(st["windows_done"]), extra)
 
-    def run(self, images: np.ndarray, output_dir: str | None = None,
-            resume_from: str | None = None,
-            checkpoint_path: str | None = None,
-            image_names: list | None = None,
-            crop_params: np.ndarray | None = None):
-        """images: (T, R, R, 3) in [0, 1]. Returns predictions dict.
+    def _process_range(self, images, reg, extrinsics, intrinsics, extra,
+                       registered, end, stop, windows_done,
+                       checkpoint_path=None, joint_ba=True):
+        """Advance the incremental pipeline over frames [end, stop).
 
-        `resume_from` restores a prior `checkpoint_path` state and
-        continues from its window cursor; `checkpoint_path` saves state
-        after every joint BA. `image_names`/`crop_params` flow to the
-        COLMAP export (real filenames + original-resolution rescale,
-        parity: video_runner.py:198-206 back_to_original_resolution).
+        Each window's query is the nearest registered frame before `end`
+        (single-host: simply end-1; a multi-host block's first window
+        anchors on the shared initial window). `joint_ba=False` skips the
+        periodic joint BA + gauge normalization — multi-host block
+        processing must leave the shared map prefix and the block's gauge
+        untouched so host-0's merge + ONE global joint BA (the only
+        cross-host steps) sees consistent coordinates.
+
+        Returns the advanced (end, windows_done).
         """
         cfg = self.cfg
-        T, R_img = images.shape[0], images.shape[1]
-        W = R_img
-        H = R_img
-
-        radial = cfg.camera_type == "SIMPLE_RADIAL"
-        if resume_from is not None:
-            (reg, extrinsics, intrinsics, registered, end,
-             windows_done, extra) = self.load_checkpoint(resume_from)
-            if radial and extra is None:
-                extra = np.zeros((T, 1), np.float32)
-        else:
-            reg = MapRegistry()
-            extrinsics = np.zeros((T, 3, 4), np.float32)
-            intrinsics = np.zeros((T, 3, 3), np.float32)
-            extra = np.zeros((T, 1), np.float32) if radial else None
-            registered = np.zeros((T,), bool)
-
-            # ---- initial window: full sparse solve (the sparse runner
-            # must use the same camera model for the init window's
-            # extra params to exist)
-            S0 = min(cfg.init_window_size, T)
-            init = self.r.sparse_reconstruct(images[:S0])
-            extrinsics[:S0] = init["extrinsics"]
-            intrinsics[:S0] = init["intrinsics"]
-            if radial and init.get("extra_params") is not None:
-                extra[:S0] = init["extra_params"]
-            registered[:S0] = True
-
-            valid = init["valid_tracks"]
-            pts = init["points3d"][valid]
-            obs2d = init["valid_2d_mask"][:, valid]
-            track2d = init["pred_track"][0][:, valid]
-            pids = reg.add_points(pts)
-            fr, pv = np.nonzero(obs2d)
-            reg.add_observations(fr, pids[pv], track2d[fr, pv])
-
-            windows_done = 0
-            end = S0
-        while end < T:
+        W = images.shape[2]
+        H = images.shape[1]
+        while end < stop:
             # ---- retry schedule when PnP registration collapses:
             # full window -> 2x query points -> shrunk window -> step the
             # query frame back (parity: video_runner.py:712-751, :169-176)
+            regd = np.nonzero(registered[:end])[0]
+            q0 = int(regd[-1])
             schedule = [
-                (end - 1, cfg.window_size, 1),
-                (end - 1, cfg.window_size, 2),
-                (end - 1, max(cfg.min_window_size, cfg.window_size // 2),
-                 2),
+                (q0, cfg.window_size, 1),
+                (q0, cfg.window_size, 2),
+                (q0, max(cfg.min_window_size, cfg.window_size // 2), 2),
             ]
             for back in range(1, cfg.max_step_back + 1):
-                if end - 1 - back >= 0 and registered[end - 1 - back]:
-                    schedule.append((end - 1 - back, cfg.window_size, 2))
+                if len(regd) > back:
+                    schedule.append((int(regd[-1 - back]),
+                                     cfg.window_size, 2))
             res = None
             for q, wsz, mult in schedule:
                 attempt = self._attempt_window(
                     images, reg, extrinsics, intrinsics, q, end,
-                    min(end + wsz, T), mult, pad_frames=wsz + 1,
+                    min(end + wsz, stop), mult, pad_frames=wsz + 1,
                     extra=extra)
                 if attempt["ok"].any():
                     res = attempt
@@ -459,13 +434,150 @@ class VideoRunner:
             end = w_end
             windows_done += 1
 
-            if windows_done % cfg.joint_ba_interval == 0 or end >= T:
-                self._joint_ba(extrinsics, intrinsics, reg, registered,
-                               extra=extra)
+            if windows_done % cfg.joint_ba_interval == 0 or end >= stop:
+                if joint_ba:
+                    self._joint_ba(extrinsics, intrinsics, reg, registered,
+                                   extra=extra)
                 if checkpoint_path is not None:
                     self.save_checkpoint(checkpoint_path, reg, extrinsics,
                                          intrinsics, registered, end,
                                          windows_done, extra=extra)
+
+        return end, windows_done
+
+    def _initial_map(self, images):
+        """Bootstrap state: full sparse solve of the initial window.
+
+        Returns (reg, extrinsics, intrinsics, extra | None, registered,
+        end). Deterministic for fixed inputs/config — every host of a
+        multi-host run computes an identical initial map, which is what
+        lets their blocks merge without a broadcast step.
+        """
+        cfg = self.cfg
+        T = images.shape[0]
+        radial = cfg.camera_type == "SIMPLE_RADIAL"
+        reg = MapRegistry()
+        extrinsics = np.zeros((T, 3, 4), np.float32)
+        intrinsics = np.zeros((T, 3, 3), np.float32)
+        extra = np.zeros((T, 1), np.float32) if radial else None
+        registered = np.zeros((T,), bool)
+
+        # ---- initial window: full sparse solve (the sparse runner
+        # must use the same camera model for the init window's
+        # extra params to exist)
+        S0 = min(cfg.init_window_size, T)
+        init = self.r.sparse_reconstruct(images[:S0])
+        extrinsics[:S0] = init["extrinsics"]
+        intrinsics[:S0] = init["intrinsics"]
+        if radial and init.get("extra_params") is not None:
+            extra[:S0] = init["extra_params"]
+        registered[:S0] = True
+
+        valid = init["valid_tracks"]
+        pts = init["points3d"][valid]
+        obs2d = init["valid_2d_mask"][:, valid]
+        track2d = init["pred_track"][0][:, valid]
+        pids = reg.add_points(pts)
+        fr, pv = np.nonzero(obs2d)
+        reg.add_observations(fr, pids[pv], track2d[fr, pv])
+        return reg, extrinsics, intrinsics, extra, registered, S0
+
+    def run_multihost(self, images: np.ndarray, num_hosts: int,
+                      host_id: int, exchange_dir: str,
+                      output_dir: str | None = None,
+                      image_names: list | None = None,
+                      crop_params: np.ndarray | None = None,
+                      merge_timeout_s: float = 1800.0):
+        """Multi-host incremental reconstruction (SURVEY §2.3 frame-window
+        axis): every host computes the same initial map, processes a
+        CONTIGUOUS block of the remaining frames (per-window BA bounds
+        in-block drift; no local joint BA so the shared prefix and gauge
+        stay merge-consistent), publishes its partial map to
+        `exchange_dir`, and host 0 merges (id offsets + duplicate-track
+        fusion), runs ONE global joint BA — distributed over a device
+        mesh when cfg.distributed_ba_devices > 1 — and exports.
+
+        Returns predictions on host 0, None on other hosts.
+        """
+        from vggsfm_tpu.parallel.merge import (
+            frame_block,
+            fuse_duplicate_points,
+            merge_partial_maps,
+            save_partial,
+            wait_for_partials,
+        )
+
+        T, R_img = images.shape[0], images.shape[1]
+        (reg, extrinsics, intrinsics, extra, registered,
+         S0) = self._initial_map(images)
+        shared_points = reg.num_points
+
+        b0, b1 = frame_block(T, S0, num_hosts, host_id)
+        if b1 > b0:
+            self._process_range(images, reg, extrinsics, intrinsics,
+                                extra, registered, b0, b1, 0,
+                                joint_ba=False)
+        save_partial(exchange_dir, host_id, reg, extrinsics, intrinsics,
+                     extra, registered, shared_points, (b0, b1))
+        if host_id != 0:
+            return None
+
+        partials = wait_for_partials(exchange_dir, num_hosts,
+                                     timeout_s=merge_timeout_s)
+        reg, extrinsics, intrinsics, extra, registered = \
+            merge_partial_maps(partials, MapRegistry)
+        fuse_duplicate_points(reg, shared_points,
+                              tol=self.cfg.merge_fuse_tol)
+        self._joint_ba(extrinsics, intrinsics, reg, registered,
+                       extra=extra)
+
+        colors = self._point_colors(images, reg)
+        predictions = {
+            "extrinsics": extrinsics,
+            "intrinsics": intrinsics,
+            "extra_params": extra,
+            "points3d": reg.xyz,
+            "colors": colors,
+            "registered": registered,
+            "num_points": reg.num_points,
+            "num_observations": len(reg.obs_frame),
+        }
+        if output_dir is not None:
+            self._export(predictions, reg, (R_img, R_img), output_dir,
+                         image_names=image_names, crop_params=crop_params)
+        return predictions
+
+    def run(self, images: np.ndarray, output_dir: str | None = None,
+            resume_from: str | None = None,
+            checkpoint_path: str | None = None,
+            image_names: list | None = None,
+            crop_params: np.ndarray | None = None):
+        """images: (T, R, R, 3) in [0, 1]. Returns predictions dict.
+
+        `resume_from` restores a prior `checkpoint_path` state and
+        continues from its window cursor; `checkpoint_path` saves state
+        after every joint BA. `image_names`/`crop_params` flow to the
+        COLMAP export (real filenames + original-resolution rescale,
+        parity: video_runner.py:198-206 back_to_original_resolution).
+        """
+        cfg = self.cfg
+        T, R_img = images.shape[0], images.shape[1]
+        W = R_img
+        H = R_img
+
+        radial = cfg.camera_type == "SIMPLE_RADIAL"
+        if resume_from is not None:
+            (reg, extrinsics, intrinsics, registered, end,
+             windows_done, extra) = self.load_checkpoint(resume_from)
+            if radial and extra is None:
+                extra = np.zeros((T, 1), np.float32)
+        else:
+            (reg, extrinsics, intrinsics, extra, registered,
+             end) = self._initial_map(images)
+            windows_done = 0
+        end, windows_done = self._process_range(
+            images, reg, extrinsics, intrinsics, extra, registered,
+            end, T, windows_done, checkpoint_path=checkpoint_path)
 
         colors = self._point_colors(images, reg)
         predictions = {
@@ -572,14 +684,36 @@ class VideoRunner:
                              shared_intrinsics=self.cfg.shared_camera,
                              cg_iters=30, robust_loss="cauchy",
                              loss_scale=4.0)
-        extr, intr, extra_o, X, info = bundle_adjust_sparse(
-            jnp.asarray(extrinsics), jnp.asarray(intrinsics),
-            jnp.asarray(reg.xyz),
-            jnp.asarray(reg.obs_frame), jnp.asarray(reg.obs_point),
-            jnp.asarray(reg.obs_xy),
-            jnp.ones((len(reg.obs_frame),), jnp.float32),
-            extra_params=(None if extra is None else jnp.asarray(extra)),
-            pose_free=pose_free, cfg=cfg)
+        n_dev = self.cfg.distributed_ba_devices
+        if n_dev > 1 and len(jax.devices()) >= n_dev:
+            # shard the observation lists over a device mesh; Hessian
+            # blocks psum-reduce inside the solver (parallel/multihost.py)
+            from jax.sharding import Mesh
+
+            from vggsfm_tpu.parallel.multihost import (
+                distributed_bundle_adjust,
+            )
+
+            mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("obs",))
+            extr, intr, extra_o, X, _ = distributed_bundle_adjust(
+                mesh, jnp.asarray(extrinsics), jnp.asarray(intrinsics),
+                jnp.asarray(reg.xyz),
+                jnp.asarray(reg.obs_frame), jnp.asarray(reg.obs_point),
+                jnp.asarray(reg.obs_xy),
+                jnp.ones((len(reg.obs_frame),), jnp.float32),
+                extra_params=(None if extra is None
+                              else jnp.asarray(extra)),
+                pose_free=pose_free, cfg=cfg, axis="obs")
+        else:
+            extr, intr, extra_o, X, _ = bundle_adjust_sparse(
+                jnp.asarray(extrinsics), jnp.asarray(intrinsics),
+                jnp.asarray(reg.xyz),
+                jnp.asarray(reg.obs_frame), jnp.asarray(reg.obs_point),
+                jnp.asarray(reg.obs_xy),
+                jnp.ones((len(reg.obs_frame),), jnp.float32),
+                extra_params=(None if extra is None
+                              else jnp.asarray(extra)),
+                pose_free=pose_free, cfg=cfg)
         extrinsics[:] = np.asarray(extr)
         intrinsics[:] = np.asarray(intr)
         if extra is not None and extra_o is not None:

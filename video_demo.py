@@ -36,6 +36,18 @@ def main(argv=None):
                         "(saved after every joint BA)")
     p.add_argument("--resume", default=None,
                    help="resume from a prior --state-checkpoint prefix")
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="partition the sequence's windows over this many "
+                        "processes; each runs with its own --host-id and "
+                        "a shared --exchange-dir, host 0 merges + joint-"
+                        "BAs + exports (SURVEY 2.3 frame-window axis)")
+    p.add_argument("--host-id", type=int, default=0)
+    p.add_argument("--exchange-dir", default=None,
+                   help="shared directory for multi-host partial maps "
+                        "(required when --num-hosts > 1)")
+    p.add_argument("--distributed-ba", type=int, default=0,
+                   help="shard the joint BA over this many local devices "
+                        "(shard_map over an 'obs' mesh axis)")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
     from vggsfm_tpu.datasets.demo_loader import DemoLoader
@@ -52,16 +64,34 @@ def main(argv=None):
                        joint_ba_interval=args.joint_ba_interval,
                        max_query_pts=args.max_query_pts,
                        query_method=args.query_method,
-                       camera_type=args.camera_type)
+                       camera_type=args.camera_type,
+                       distributed_ba_devices=args.distributed_ba)
     runner = VideoRunner(VGGSfMRunner(scfg), vcfg)
 
     data = DemoLoader(args.scene_dir, img_size=args.img_size).load()
     out_dir = args.output or args.scene_dir
-    preds = runner.run(data["images"], output_dir=out_dir,
-                       resume_from=args.resume,
-                       checkpoint_path=args.state_checkpoint,
-                       image_names=data["image_names"],
-                       crop_params=data["crop_params"])
+    if args.num_hosts > 1:
+        if args.exchange_dir is None:
+            p.error("--num-hosts > 1 requires --exchange-dir")
+        # DCN process-group init (no-op single-process; real multi-host
+        # runtimes set VGGSFM_COORDINATOR/NUM_PROCESSES/PROCESS_ID)
+        from vggsfm_tpu.parallel.multihost import init_multihost
+
+        init_multihost()
+        preds = runner.run_multihost(
+            data["images"], args.num_hosts, args.host_id,
+            args.exchange_dir, output_dir=out_dir,
+            image_names=data["image_names"],
+            crop_params=data["crop_params"])
+        if preds is None:  # non-zero hosts publish their partial and exit
+            print(json.dumps({"host_id": args.host_id, "done": True}))
+            return None
+    else:
+        preds = runner.run(data["images"], output_dir=out_dir,
+                           resume_from=args.resume,
+                           checkpoint_path=args.state_checkpoint,
+                           image_names=data["image_names"],
+                           crop_params=data["crop_params"])
     print(json.dumps({
         "frames": int(preds["extrinsics"].shape[0]),
         "registered": int(preds["registered"].sum()),
