@@ -66,14 +66,16 @@ def _watchdog(seconds: float):
     return t
 
 
-def _run_config(scene, reps, **overrides):
+def _run_config(scene, reps, measure_mfu=False, **overrides):
     """Build a runner with `overrides`, solve the scene, return stats."""
     import numpy as np
 
+    import jax
     import jax.numpy as jnp
 
     from vggsfm_tpu.geometry.metrics import pose_auc30
     from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+    from vggsfm_tpu.utils import mfu
 
     cfg = RunnerConfig(**overrides)
     runner = VGGSfMRunner(cfg)
@@ -101,10 +103,52 @@ def _run_config(scene, reps, **overrides):
     # gate at the demonstrated quality floor (AUC 1.0 since the
     # pose-refinement fixes; 0.85 leaves room for RNG drift only)
     ok = valid_tracks >= 100 and auc30 >= 0.85
-    return {"fps": S / steady, "steady_s": round(steady, 3),
-            "compile_s": round(compile_s, 1),
-            "valid_tracks": valid_tracks,
-            "auc30_vs_planted": round(auc30, 4), "ok": ok}
+    stats = {"fps": S / steady, "steady_s": round(steady, 3),
+             "compile_s": round(compile_s, 1),
+             "valid_tracks": valid_tracks,
+             "auc30_vs_planted": round(auc30, 4), "ok": ok}
+
+    if measure_mfu:
+        # one extra SYNC_TIMING rep: every hot jitted computation records
+        # honest per-call device-inclusive seconds (transfer-synced — see
+        # utils/mfu.py) + XLA cost-analysis FLOPs. Reported separately so
+        # the headline timing keeps its pipeline overlap.
+        mfu.reset()
+        mfu.SYNC_TIMING = True
+        try:
+            t0 = time.time()
+            runner.sparse_reconstruct(images)
+            sync_total = time.time() - t0
+            rep = mfu.flops_report()
+        finally:
+            mfu.SYNC_TIMING = False
+        tracker = [rep[k] for k in ("fmaps", "coarse", "fine") if k in rep]
+        ba = [rep[k] for k in ("ba_dense", "ba_sparse") if k in rep]
+
+        def _agg(rows):
+            fl = sum(r["total_flops"] or 0 for r in rows)
+            sec = sum(r.get("device_s") or 0 for r in rows)
+            return fl, sec
+
+        tr_fl, tr_s = _agg(tracker)
+        ba_fl, ba_s = _agg(ba)
+        dev = jax.devices()[0]
+        stats["mfu"] = {
+            "device_kind": getattr(dev, "device_kind", "unknown"),
+            "peak_bf16_flops": mfu.peak_flops(dev),
+            "sync_rep_total_s": round(sync_total, 3),
+            "per_computation": {
+                k: {kk: (round(vv, 4) if isinstance(vv, float) else vv)
+                    for kk, vv in v.items()} for k, v in rep.items()},
+            "tracker_total_flops": tr_fl, "tracker_device_s":
+                round(tr_s, 3),
+            "mfu_tracker": (round(mfu.mfu(tr_fl, tr_s, dev), 4)
+                            if mfu.mfu(tr_fl, tr_s, dev) else None),
+            "ba_total_flops": ba_fl, "ba_device_s": round(ba_s, 3),
+            "mfu_ba": (round(mfu.mfu(ba_fl, ba_s, dev), 4)
+                       if mfu.mfu(ba_fl, ba_s, dev) else None),
+        }
+    return stats
 
 
 def main():
@@ -122,8 +166,8 @@ def main():
         # (README.md:243-246): query_frame_num=8, max_query_pts=4096,
         # query_method=aliked, fine tracking + comple_nonvis on.
         matched = _run_config(
-            scene, reps=2, img_size=R, query_frame_num=8,
-            max_query_pts=4096, query_method="aliked",
+            scene, reps=2, measure_mfu=True, img_size=R,
+            query_frame_num=8, max_query_pts=4096, query_method="aliked",
             fine_tracking=True, comple_nonvis=True,
             robust_refine=2, ba_iters=2)
 

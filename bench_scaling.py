@@ -10,7 +10,12 @@ this harness exists because the build environment has exactly one chip —
 the number is an honest lower bound from CPU thread parallelism, labeled
 as such in the output.
 
-  python bench_scaling.py [--devices 2] [--frames 64] [--points 8192]
+  python bench_scaling.py [--devices 2,4,8] [--frames 64] [--points 8192]
+
+`--devices` takes a comma-separated list; the harness forces max(list)
+virtual devices and times a mesh over the first N of them for every N in
+the list, emitting one efficiency point per N (the VERDICT-requested
+scaling curve).
 """
 
 from __future__ import annotations
@@ -24,18 +29,20 @@ import time
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--devices", type=int, default=2)
+    ap.add_argument("--devices", default="2",
+                    help="comma-separated mesh sizes, e.g. 2,4,8")
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--points", type=int, default=8192)
     ap.add_argument("--obs-per-frame", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args(argv)
+    sizes = sorted({int(x) for x in str(args.devices).split(",")})
 
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count="
-            f"{args.devices}").strip()
+            f"{max(sizes)}").strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -85,9 +92,7 @@ def main(argv=None):
             jnp.asarray(w), cfg=cfg)
         return np.asarray(out[0])  # device->host sync
 
-    mesh = Mesh(np.array(jax.devices()[:args.devices]), ("points",))
-
-    def run_sharded():
+    def run_sharded(mesh):
         out = distributed_bundle_adjust(
             mesh, jnp.asarray(extr_n), jnp.asarray(intr), jnp.asarray(X),
             obs_f, obs_p, obs_xy, w, cfg=cfg)
@@ -103,18 +108,22 @@ def main(argv=None):
         return float(np.median(ts)), r
 
     t1, r1 = timed(run_single)
-    tn, rn = timed(run_sharded)
-    if not np.allclose(r1, rn, atol=1e-3):
-        print("WARNING: sharded result diverges from single-device",
-              file=sys.stderr)
-    n = args.devices
-    eff = t1 / (n * tn)
+    curve = {}
+    for n in sizes:
+        mesh = Mesh(np.array(jax.devices()[:n]), ("points",))
+        tn, rn = timed(lambda: run_sharded(mesh))
+        if not np.allclose(r1, rn, atol=1e-3):
+            print(f"WARNING: N={n} sharded result diverges from "
+                  "single-device", file=sys.stderr)
+        curve[n] = {"t_sharded_s": round(tn, 3),
+                    "efficiency": round(t1 / (n * tn), 3)}
+    n_max = max(sizes)
     print(json.dumps({
         "metric": "distributed_ba_scaling_efficiency",
-        "value": round(eff, 3),
-        "unit": f"t1/(N*tN), N={n} simulated devices",
+        "value": curve[n_max]["efficiency"],
+        "unit": f"t1/(N*tN), N={n_max} simulated devices",
         "detail": {"t_single_s": round(t1, 3),
-                   "t_sharded_s": round(tn, 3),
+                   "curve": {f"N={n}": curve[n] for n in sizes},
                    "frames": S, "points": P,
                    "observations": int(len(obs_f)),
                    "platform": "cpu-simulated mesh (one real chip in "

@@ -43,6 +43,10 @@ def main(argv=None):
     ap.add_argument("--submission-dir", default=None,
                     help="write per-bag pose h5 files (IMC submission "
                          "layout) here")
+    ap.add_argument("--pack-submission", default=None,
+                    help="also write full IMC method directories "
+                         "(keypoints/scores/matches h5 + COLMAP model, "
+                         "datasets/imc_submission.py) under this base")
     ap.add_argument("--out", default=None, help="write JSON results here")
     args = ap.parse_args(argv)
 
@@ -85,6 +89,15 @@ def main(argv=None):
 
             save_pose_submission(args.submission_dir, name,
                                  data["image_names"], out["extrinsics"])
+        if args.pack_submission:
+            from vggsfm_tpu.datasets.imc_submission import (
+                pack_scene_submission,
+            )
+
+            pack_scene_submission(
+                args.pack_submission, "imc", name, "vggsfm_tpu",
+                data["image_names"], out,
+                image_size=(args.img_size, args.img_size))
         m = scores["pair_mask"]
         row = {
             "num_frames": int(len(data["images"])),

@@ -169,7 +169,9 @@ def main(argv=None):
     ap.add_argument("--query-method", default="aliked")
     ap.add_argument("--max-query-pts", type=int, default=2048)
     ap.add_argument("--query-frame-num", type=int, default=3)
-    ap.add_argument("--min-auc", type=float, default=0.5)
+    # gate at the bench's demonstrated quality floor (bench.py gates its
+    # reconstruction at 0.85; the parity gate must not be weaker)
+    ap.add_argument("--min-auc", type=float, default=0.85)
     ap.add_argument("--convert-only", action="store_true",
                     help="stop after the conversion audit")
     ap.add_argument("--out", default=None, help="write JSON report here")

@@ -164,3 +164,22 @@ class TestCNNDispatch:
             assert xy.shape == (64, 2)
             assert np.asarray(valid).sum() > 0
             assert xy.min() >= 0 and xy.max() < 96
+
+
+class TestAutoQueryMethod:
+    def test_auto_without_ckpt_is_classical(self, monkeypatch):
+        from vggsfm_tpu.extractors.dispatch import resolve_query_method
+
+        monkeypatch.delenv("VGGSFM_TPU_ALIKED_CKPT", raising=False)
+        assert resolve_query_method("auto") == "sift+harris"
+
+    def test_auto_with_ckpt_is_aliked(self, monkeypatch):
+        from vggsfm_tpu.extractors.dispatch import resolve_query_method
+
+        monkeypatch.setenv("VGGSFM_TPU_ALIKED_CKPT", "/tmp/x.pth")
+        assert resolve_query_method("auto") == "aliked"
+
+    def test_explicit_method_passes_through(self):
+        from vggsfm_tpu.extractors.dispatch import resolve_query_method
+
+        assert resolve_query_method("sp+sift") == "sp+sift"

@@ -188,9 +188,17 @@ def reprojection_cost(extrinsics, focal, pp, extra, points3d, tracks, mask,
 # ---------------------------------------------------------------------------
 
 
+def bundle_adjust(*args, **kwargs):
+    """FLOP-ledger wrapper over the jitted solver (utils/mfu.py): every
+    eager call records its shapes so the bench can report BA MFU."""
+    from vggsfm_tpu.utils import mfu
+
+    return mfu.timed_call("ba_dense", _bundle_adjust, args, kwargs)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 @f32_matmuls
-def bundle_adjust(
+def _bundle_adjust(
     extrinsics: jax.Array,
     intrinsics: jax.Array,
     points3d: jax.Array,

@@ -50,10 +50,20 @@ def _spd_inverse_small(M: jax.Array, eps: float) -> jax.Array:
     return jnp.einsum("...ij,...j,...kj->...ik", V, w_inv, V)
 
 
+def bundle_adjust_sparse(*args, **kwargs):
+    """FLOP-ledger wrapper over the jitted solver (utils/mfu.py): eager
+    calls record their shapes so the bench can report joint-BA MFU.
+    Trace-time calls (inside shard_map / an outer jit) skip the ledger."""
+    from vggsfm_tpu.utils import mfu
+
+    return mfu.timed_call("ba_sparse", _bundle_adjust_sparse, args,
+                          kwargs)
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_frames", "num_points",
                                    "axis_name"))
 @f32_matmuls
-def bundle_adjust_sparse(
+def _bundle_adjust_sparse(
     extrinsics: jax.Array,
     intrinsics: jax.Array,
     points3d: jax.Array,

@@ -1,13 +1,20 @@
-"""ALIKED keypoint detector — score branch (Flax, channels-last).
+"""ALIKED keypoint detector — score branch + SDDH descriptors (Flax).
 
 The reference's default query-point source is LightGlue's ALIKED wrapper
 (cfgs/demo.yaml:49 `query_method: aliked`, runners/runner.py:1374-1379).
 For query points only the *score map* matters (the tracker does the
-matching), so this ports ALIKED's encoder + score head: a 4-stage
+matching), so the hot path ports ALIKED's encoder + score head: a 4-stage
 conv/residual pyramid whose stage outputs are projected to dim/4 channels,
 upsampled to input resolution, concatenated, and reduced to a single-channel
-score map; keypoints are NMS peaks of that map. The SDDH deformable
-descriptor head is intentionally omitted (descriptors are unused here).
+score map; keypoints are NMS peaks of that map.
+
+The SDDH (Sparse Deformable Descriptor Head, ALIKED paper arXiv
+2304.03608) completes the reference's extractor surface: per keypoint,
+a small conv predicts `n_pos` deformable sample offsets from the local
+k x k feature patch; features bilinearly sampled at keypoint+offset are
+projected (sf_conv), aggregated over positions (convM) and L2-normalized
+into a `dim`-d descriptor. TPU-first: all keypoints batch through one
+gather + three 1x1 convs (static shapes, no per-keypoint loop).
 
 BatchNorm layers are represented in inference form (per-channel scale +
 bias, foldable from a torch checkpoint's running statistics).
@@ -21,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vggsfm_tpu.models.sampling import interpolate_bilinear
+from vggsfm_tpu.models.sampling import bilinear_sample, interpolate_bilinear
 
 
 class InferenceBatchNorm(nn.Module):
@@ -71,6 +78,68 @@ class ResBlock(nn.Module):
         return jax.nn.selu(x + y)
 
 
+class SDDH(nn.Module):
+    """Sparse Deformable Descriptor Head (ALIKED, arXiv 2304.03608).
+
+    Per keypoint: a k x k feature patch predicts `n_pos` 2D sample
+    offsets (two convs; the k x k VALID conv on a k x k patch is a dense
+    map over the patch); features bilinearly sampled at keypoint+offset
+    are projected by a 1x1 conv (sf_conv), concatenated over positions
+    (position-major, matching `permute(0, 2, 1).reshape` in the torch
+    replica) and reduced by convM to a `dim`-d L2-normalized descriptor.
+    All keypoints batch through one gather — no per-keypoint loop.
+    """
+
+    dim: int = 128
+    kernel_size: int = 3
+    n_pos: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, fmap, keypoints):
+        """fmap (B, H, W, C), keypoints (B, N, 2) xy pixel coords ->
+        descriptors (B, N, dim), offsets (B, N, n_pos, 2)."""
+        B, H, W, C = fmap.shape
+        N = keypoints.shape[1]
+        k, P = self.kernel_size, self.n_pos
+
+        # 1. k x k patches centered on the rounded keypoint (border clamp)
+        ctr = jnp.round(keypoints).astype(jnp.int32)  # (B, N, 2) xy
+        half = k // 2
+        dy, dx = jnp.meshgrid(jnp.arange(-half, half + 1),
+                              jnp.arange(-half, half + 1), indexing="ij")
+        px = jnp.clip(ctr[..., 0, None, None] + dx, 0, W - 1)
+        py = jnp.clip(ctr[..., 1, None, None] + dy, 0, H - 1)
+        flat = fmap.reshape(B, H * W, C)
+        idx = (py * W + px).reshape(B, N * k * k)
+        patches = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        patches = patches.reshape(B * N, k, k, C)
+
+        # 2. offsets: k x k VALID conv -> selu -> 1x1 conv, clamped to the
+        # official max_offset = max(H, W) / 4
+        off = nn.Conv(2 * P, (k, k), padding="VALID", name="offset_conv1",
+                      dtype=self.dtype)(patches)
+        off = nn.Conv(2 * P, (1, 1), name="offset_conv2",
+                      dtype=self.dtype)(jax.nn.selu(off))
+        max_off = max(H, W) / 4.0
+        offsets = jnp.clip(off.reshape(B, N, P, 2), -max_off, max_off)
+
+        # 3. deformable sampling at keypoint + offset
+        pos = keypoints[:, :, None, :] + offsets  # (B, N, P, 2)
+        sampled = bilinear_sample(fmap, pos)  # (B, N, P, C)
+
+        # 4. project, aggregate over positions, normalize
+        h = jax.nn.selu(nn.Conv(C, (1, 1), use_bias=False, name="sf_conv",
+                                dtype=self.dtype)(sampled))
+        h = h.reshape(B, N, 1, P * C)  # position-major concat
+        desc = nn.Conv(self.dim, (1, 1), use_bias=False, name="convM",
+                       dtype=self.dtype)(h)[:, :, 0, :]
+        desc = desc.astype(jnp.float32)
+        desc = desc / jnp.maximum(
+            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
+        return desc, offsets
+
+
 class ALIKED(nn.Module):
     """ALIKED-n16-style encoder + score head -> (B, H, W) score map."""
 
@@ -82,8 +151,11 @@ class ALIKED(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, image):
+    def __call__(self, image, return_feats: bool = False):
         """(B, H, W, 3) in [0, 1] -> score map (B, H, W) in [0, 1].
+
+        With `return_feats` also returns the (B, H, W, dim) fused feature
+        map the SDDH descriptor head samples from.
 
         Stage resolutions follow the official ALIKED-n16: 1, /2, /8, /32
         (pool2 once, then pool4 twice) so converted weights see the same
@@ -125,7 +197,10 @@ class ALIKED(nn.Module):
                                 dtype=self.dtype)(s))
         s = nn.Conv(1, (3, 3), padding=1, name="score_head4",
                     dtype=self.dtype)(s)
-        return jax.nn.sigmoid(s.astype(jnp.float32))[..., 0]
+        score = jax.nn.sigmoid(s.astype(jnp.float32))[..., 0]
+        if return_feats:
+            return score, feats
+        return score
 
 
 def convert_aliked_checkpoint(state_dict) -> dict:
@@ -170,6 +245,7 @@ def convert_aliked_checkpoint(state_dict) -> dict:
             p["downsample"] = conv(f"{prefix}.downsample")
         return p
 
+
     params = {
         "block1": block("block1", False),
         "block2": block("block2", True),
@@ -185,3 +261,34 @@ def convert_aliked_checkpoint(state_dict) -> dict:
         "score_head4": conv("score_head.6"),
     }
     return {"params": params}
+
+
+def convert_sddh_checkpoint(state_dict, prefix: str = "desc_head") -> dict:
+    """Official ALIKED `desc_head` (SDDH) subtree -> Flax SDDH params.
+
+    offset_conv Sequential{0: k x k conv, 1: selu, 2: 1x1 conv}, the
+    bias-free sf_conv / convM 1x1 convs. convM's input-channel order is
+    position-major (descriptor positions outer, feature channels inner) —
+    the same order our forward concatenates.
+    """
+    import numpy as np
+
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+
+    def arr(k):
+        v = sd[k]
+        return np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v)
+
+    def conv(p, bias=True):
+        out = {"kernel": arr(f"{p}.weight").transpose(2, 3, 1, 0)}
+        if bias:
+            out["bias"] = arr(f"{p}.bias")
+        return out
+
+    return {"params": {
+        "offset_conv1": conv(f"{prefix}.offset_conv.0"),
+        "offset_conv2": conv(f"{prefix}.offset_conv.2"),
+        "sf_conv": conv(f"{prefix}.sf_conv", bias=False),
+        "convM": conv(f"{prefix}.convM", bias=False),
+    }}

@@ -20,7 +20,12 @@ import os
 import jax
 import jax.numpy as jnp
 
-from vggsfm_tpu.extractors.aliked import ALIKED, convert_aliked_checkpoint
+from vggsfm_tpu.extractors.aliked import (
+    ALIKED,
+    SDDH,
+    convert_aliked_checkpoint,
+    convert_sddh_checkpoint,
+)
 from vggsfm_tpu.extractors.superpoint import (
     SuperPoint,
     convert_superpoint_checkpoint,
@@ -88,6 +93,42 @@ def detect_aliked_keypoints(image: jax.Array, max_keypoints: int = 4096,
     score_map = _CACHE["aliked_apply"](params, image[None])[0]
     return superpoint_keypoints_from_heatmap(
         score_map, max_keypoints, nms_radius=nms_radius)
+
+
+def load_sddh_params():
+    """SDDH descriptor-head params: converted from the ALIKED checkpoint's
+    `desc_head` subtree when VGGSFM_TPU_ALIKED_CKPT is set (and contains
+    one), deterministic random init otherwise."""
+    if "sddh_params" not in _CACHE:
+        path = os.environ.get("VGGSFM_TPU_ALIKED_CKPT", "")
+        sd = _load_torch(path) if path and os.path.exists(path) else {}
+        if any(str(k).removeprefix("module.").startswith("desc_head.")
+               for k in sd):
+            params = jax.tree.map(jnp.asarray, convert_sddh_checkpoint(sd))
+        else:
+            params = jax.jit(SDDH().init)(
+                jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 128)),
+                jnp.zeros((1, 4, 2)))
+        _CACHE["sddh_params"] = params
+    return _CACHE["sddh_params"]
+
+
+def _aliked_describe(aliked_params, sddh_params, image, xy):
+    _, feats = ALIKED().apply(aliked_params, image, return_feats=True)
+    desc, _ = SDDH().apply(sddh_params, feats, xy)
+    return desc
+
+
+def describe_aliked_keypoints(image: jax.Array, xy: jax.Array):
+    """(H, W, 3) image + (K, 2) keypoint pixels -> (K, 128) L2-normalized
+    SDDH descriptors (completes the reference's ALIKED surface,
+    runners/runner.py:1374-1392; descriptors are unused for query seeding
+    but exported for downstream matching)."""
+    if "aliked_describe" not in _CACHE:
+        _CACHE["aliked_describe"] = jax.jit(_aliked_describe)
+    return _CACHE["aliked_describe"](load_aliked_params(),
+                                     load_sddh_params(),
+                                     image[None], xy[None])[0]
 
 
 def detect_superpoint_keypoints(image: jax.Array, max_keypoints: int = 4096,

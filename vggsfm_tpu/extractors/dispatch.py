@@ -34,6 +34,25 @@ def grid_keypoints(height: int, width: int, num: int):
     return xy[:num]
 
 
+def resolve_query_method(query_method: str) -> str:
+    """Resolve the 'auto' extractor default.
+
+    With a trained ALIKED checkpoint (VGGSFM_TPU_ALIKED_CKPT) 'auto'
+    selects 'aliked' — the reference default (cfgs/demo.yaml:49), whose
+    reference weights are trained. Without one, random-init ALIKED
+    measurably loses to the classical detectors on the oracle scene
+    (AUC@30 0.82 vs 0.94 for sift+harris, 256px 2-query fine-tracking
+    run), so 'auto' ships the measured-best weights-free path instead.
+    """
+    if query_method != "auto":
+        return query_method
+    import os
+
+    if os.environ.get("VGGSFM_TPU_ALIKED_CKPT"):
+        return "aliked"
+    return "sift+harris"
+
+
 def get_query_points(query_image: jax.Array, key: jax.Array,
                      query_method: str = "sift",
                      max_query_num: int = 4096,
@@ -43,6 +62,7 @@ def get_query_points(query_image: jax.Array, key: jax.Array,
 
     Returns (xy (max_query_num, 2), valid (max_query_num,)).
     """
+    query_method = resolve_query_method(query_method)
     H, W = query_image.shape[:2]
     gray = _to_gray(query_image)
 

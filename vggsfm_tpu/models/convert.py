@@ -161,6 +161,11 @@ def convert_dinov2(sd, prefix="backbone", depth=12):
     else:
         dim = _arr(sd[f"{prefix}.cls_token"]).shape[-1]
         regs = np.zeros((1, 0, dim), np.float32)
+    # dinov2 checkpoints carry a mask_token for masked-image-modeling
+    # pretraining; inference never uses it. Consume it so a strict
+    # keys-coverage audit (parity_check.py) stays clean.
+    if f"{prefix}.mask_token" in sd:
+        _arr(sd[f"{prefix}.mask_token"])
     out = {
         "cls_token": _arr(sd[f"{prefix}.cls_token"]),
         "register_tokens": regs,
@@ -274,11 +279,13 @@ def convert_depth_anything(state_dict) -> dict:
 def convert_vggsfm_checkpoint(state_dict) -> dict:
     """Reference vggsfm_v2_0_0.bin state_dict -> {tracker, camera} params.
 
-    Values may be torch tensors or numpy arrays; each is converted with
-    `np.asarray` (call `.cpu()` first for CUDA tensors).
+    Values may be torch tensors or numpy arrays; every leaf read goes
+    through `_arr` (detach/cpu/np.asarray), so the mapping is consumed
+    key-by-key — parity_check.py's audit wraps it in a recording dict to
+    prove the converter touches exactly the checkpoint's key set (do NOT
+    rebuild the dict here; that would bypass the recording).
     """
-    sd = {k: _arr(v) for k, v in state_dict.items()}
     return {
-        "tracker": {"params": convert_tracker(sd)},
-        "camera": {"params": convert_camera_predictor(sd)},
+        "tracker": {"params": convert_tracker(state_dict)},
+        "camera": {"params": convert_camera_predictor(state_dict)},
     }

@@ -36,6 +36,7 @@ from vggsfm_tpu.ops.triangulation import triangulate_by_pair
 from vggsfm_tpu.sfm import SfmConfig, run_sfm
 from vggsfm_tpu.twoview import estimate_preliminary_cameras
 from vggsfm_tpu.utils.cache import enable_compilation_cache
+from vggsfm_tpu.utils import mfu
 
 
 @contextlib.contextmanager
@@ -76,7 +77,10 @@ class RunnerConfig:
     img_size: int = 1024
     query_frame_num: int = 3
     max_query_pts: int = 4096
-    query_method: str = "aliked"  # reference default, cfgs/demo.yaml:49
+    # 'auto': aliked when a trained checkpoint is available (the
+    # reference default, cfgs/demo.yaml:49), else the measured-best
+    # weights-free path (extractors/dispatch.py resolve_query_method)
+    query_method: str = "auto"
     fine_tracking: bool = True
     coarse_iters: int = 6
     max_points_num: int = 163840  # track-frames per coarse tracker call
@@ -216,7 +220,12 @@ class VGGSfMRunner:
 
     def _jitted(self, name, fn):
         if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
+            jitted = jax.jit(fn)
+
+            def wrapper(*args, _name=name, _jitted=jitted, **kwargs):
+                return mfu.timed_call(_name, _jitted, args, kwargs)
+
+            self._jit_cache[name] = wrapper
         return self._jit_cache[name]
 
     def _fmaps(self, images):

@@ -45,7 +45,7 @@ class VideoConfig:
     window_size: int = 8
     joint_ba_interval: int = 4
     max_query_pts: int = 1024
-    query_method: str = "sift"
+    query_method: str = "auto"  # see extractors/dispatch.py
     min_inlier_per_frame: int = 30
     max_reproj_error: float = 4.0
     vis_thresh: float = 0.05
