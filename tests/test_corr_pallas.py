@@ -53,3 +53,39 @@ class TestCorrPallas:
         assert got.shape == (S, N, 81)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4, rtol=1e-4)
+
+
+class TestCorrPallasSmallC:
+    """Row-flattened small-channel kernel (fine-former C=32 pyramids)."""
+
+    def test_matches_xla_path(self, rng):
+        from vggsfm_tpu.ops.corr_pallas import corr_sample_pallas_smallc
+
+        S, H, W, C, N = 4, 31, 31, 32, 9
+        fmap = jnp.asarray(rng.normal(size=(S, H, W, C)).astype(np.float32))
+        coords = jnp.asarray(
+            rng.uniform(4, 26, size=(S, N, 2)).astype(np.float32))
+        feats = jnp.asarray(rng.normal(size=(S, N, C)).astype(np.float32))
+        want = corr_sample([fmap[None]], coords[None], feats[None],
+                           radius=3)[0]
+        got = corr_sample_pallas_smallc(fmap, coords, feats, radius=3,
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_border_zeros_and_padding(self, rng):
+        from vggsfm_tpu.ops.corr_pallas import corr_sample_pallas_smallc
+
+        S, H, W, C, N = 1, 15, 15, 32, 5  # N pads to the 8-track block
+        fmap = jnp.asarray(rng.normal(size=(S, H, W, C)).astype(np.float32))
+        coords = jnp.asarray(
+            np.array([[[0.3, 0.4], [14.2, 14.6], [0.9, 13.5],
+                       [13.8, 0.2], [7.5, 7.5]]], np.float32))
+        feats = jnp.asarray(rng.normal(size=(S, N, C)).astype(np.float32))
+        want = corr_sample([fmap[None]], coords[None], feats[None],
+                           radius=3)[0]
+        got = corr_sample_pallas_smallc(fmap, coords, feats, radius=3,
+                                        interpret=True)
+        assert got.shape == (S, N, 49)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-4)

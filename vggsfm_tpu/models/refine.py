@@ -154,7 +154,8 @@ def ncc_subpixel_refine(images: jax.Array, coords: jax.Array,
 def refine_track(images, fine_fnet_apply, fine_tracker_apply, coarse_pred,
                  compute_score: bool = True, pradius: int = 15,
                  sradius: int = 2, fine_iters: int = 6,
-                 matching_init: bool = False, subpixel_refine: bool = False):
+                 matching_init: bool = False, subpixel_refine: bool = False,
+                 patch_dtype=None):
     """Refine coarse tracks on local patches with the fine tracker.
 
     Args:
@@ -171,7 +172,15 @@ def refine_track(images, fine_fnet_apply, fine_tracker_apply, coarse_pred,
     B, S, N, _ = coarse_pred.shape
     psize = 2 * pradius + 1
 
-    patches, topleft = extract_patches(images, coarse_pred, pradius)
+    # patch extraction is HBM-random-access bound (~90 ms per 16k windows
+    # at f32 on v5e, identical for slice-loop vs window-gather): when the
+    # fine fnet computes in bf16 anyway, gathering in bf16 halves the
+    # traffic (the NCC polish below reads the original f32 pixels, not
+    # these patches). patch_dtype=None keeps the input dtype.
+    img_for_patches = (images if patch_dtype is None
+                       else images.astype(patch_dtype))
+    patches, topleft = extract_patches(img_for_patches, coarse_pred,
+                                       pradius)
     patch_feat = fine_fnet_apply(
         patches.reshape(B * S * N, psize, psize, 3))
     C_out = patch_feat.shape[-1]

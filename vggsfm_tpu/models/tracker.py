@@ -71,7 +71,8 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
     for i, fmap in enumerate(pyramid):
         _, _, H, W, _ = fmap.shape
         centers = coords / (2.0 ** i)
-        # the DMA-based kernel needs 128-aligned feature lanes (HBM tiling)
+        # the DMA-based kernel keeps C as the lane axis (needs 128-aligned
+        # feature lanes for HBM tiling)
         if use_pallas and C % 128 == 0:
             from vggsfm_tpu.ops.corr_pallas import corr_sample_pallas
 
@@ -82,33 +83,51 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
                 radius=radius)
             out.append(corr.reshape(B, S, N, -1).astype(track_feats.dtype))
             continue
+        # small-C variant (fine-former C=32 patch pyramids): row-flattened
+        # DMA windows; the XLA alternatives both lose by an order of
+        # magnitude here (dot-then-slice re-reads the pyramid per iter,
+        # tap gathers run at scalar granularity — 35 ms/level measured)
+        if use_pallas and C < 128:
+            from vggsfm_tpu.ops.corr_pallas import corr_sample_pallas_smallc
+
+            corr = corr_sample_pallas_smallc(
+                fmap.reshape(B * S, H, W, C),
+                centers.reshape(B * S, N, 2),
+                track_feats.reshape(B * S, N, C).astype(fmap.dtype),
+                radius=radius)
+            out.append(corr.reshape(B, S, N, -1).astype(track_feats.dtype))
+            continue
 
         if H * W <= 1156:
-            # small-map path (fine-tracker patch pyramids, coarse top
-            # levels): dot-then-slice. Correlate the track feature against
-            # EVERY cell (one MXU einsum — at <=34^2 cells the extra dots
-            # are free), zero-pad, then slice the (2r+2)^2 window with a
-            # vmap'd dynamic_slice. Removes the C-fold gather traffic of
-            # sample-then-dot: measured 4x on the fine former's corr.
+            # small-map MANY-track path (coarse top levels): dot-then-
+            # slice. Correlate the track features against EVERY cell — a
+            # real (HW, C) @ (C, N) GEMM that reads the fmap once for all
+            # N tracks — then GATHER each track's (2r+2)^2 scalar window
+            # with one take_along_axis. The N >= 64 gate matters: with
+            # few tracks per map (the fine former runs N=1 per patch
+            # "video") the einsum degenerates to matvecs that re-read the
+            # whole pyramid every iteration (measured 2 GB/level/iter,
+            # ~230 ms of a 310 ms call) — the sample-then-dot path below
+            # touches only the (2r+2)^2 taps instead. Do NOT use a vmap'd
+            # dynamic_slice for the window slicing either: XLA lowers it
+            # to a sequential while loop over all B*S*N tracks (~1.5 us
+            # per iteration, measured 540 ms per fine-former call at 16k
+            # track-frames); the batched gather runs in ~1 ms.
             base = jnp.floor(centers)
             frac = (centers - base).astype(track_feats.dtype)
             cmap = jnp.einsum("bshwc,bsnc->bsnhw", fmap, track_feats)
-            pad = 2 * r + 3
-            cmap = jnp.pad(cmap, ((0, 0), (0, 0), (0, 0), (pad, pad),
-                                  (pad, pad)))
-            by = jnp.clip(base[..., 1].astype(jnp.int32), -(r + 2),
-                          H + r + 1)
-            bx = jnp.clip(base[..., 0].astype(jnp.int32), -(r + 2),
-                          W + r + 1)
-            starts = jnp.stack([by - r + pad, bx - r + pad],
-                               axis=-1).reshape(B * S * N, 2)
-            cm = cmap.reshape(B * S * N, H + 2 * pad, W + 2 * pad)
-
-            def one(m, st):
-                return jax.lax.dynamic_slice(m, (st[0], st[1]),
-                                             (window, window))
-
-            ci = jax.vmap(one)(cm, starts).reshape(B, S, N, window, window)
+            offs = jnp.arange(-r, r + 2, dtype=jnp.int32)
+            oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+            ix = base[..., 0].astype(jnp.int32)[..., None, None] + ox
+            iy = base[..., 1].astype(jnp.int32)[..., None, None] + oy
+            ok = ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H))
+            idx = (jnp.clip(iy, 0, H - 1) * W
+                   + jnp.clip(ix, 0, W - 1))  # (B,S,N,w,w)
+            ci = jnp.take_along_axis(
+                cmap.reshape(B, S, N, H * W),
+                idx.reshape(B, S, N, window * window), axis=-1)
+            ci = (ci * ok.reshape(B, S, N, -1)).reshape(
+                B, S, N, window, window)
             ci = ci.astype(track_feats.dtype)
             fx = frac[..., 0, None, None]
             fy = frac[..., 1, None, None]
@@ -373,9 +392,13 @@ class BaseTrackerPredictor(nn.Module):
         tdim = self.transformer_dim
         flows_emb_dim = self.latent_dim // 2
 
-        pos_grid = get_2d_sincos_pos_embed(tdim, (HH, WW))
-        pos_grid = jnp.broadcast_to(pos_grid, (B,) + pos_grid.shape[1:])
-        sampled_pos = bilinear_sample(pos_grid, qp)  # (B, N, tdim)
+        # the sincos grid is identical for every batch element: sample it
+        # ONCE with the flattened (1, B*N, 2) query set — broadcasting to
+        # (B, HH, WW, tdim) first would materialize gigabytes at the fine
+        # former's B = tracks-per-chunk batch
+        pos_grid = get_2d_sincos_pos_embed(tdim, (HH, WW))  # (1, HH, WW, D)
+        sampled_pos = bilinear_sample(
+            pos_grid, qp.reshape(1, B * N, 2)).reshape(B, N, tdim)
 
         updateformer = EfficientUpdateFormer(
             space_depth=self.depth if self.use_spaceatt else 0,

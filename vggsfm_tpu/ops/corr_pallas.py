@@ -171,3 +171,145 @@ def corr_sample_pallas(fmap: jax.Array, coords: jax.Array,
             + fy * (1 - fx) * ci[..., 1:, :W1]
             + fy * fx * ci[..., 1:, 1:])
     return corr.reshape(S, N, W1 * W1) * scale
+
+
+# ---------------------------------------------------------------------------
+# small-channel variant (fine-former patch pyramids, C = 32)
+# ---------------------------------------------------------------------------
+#
+# The C % 128 == 0 kernel above keeps C as the lane axis. For the fine
+# tracker's C = 32 patch features that layout wastes 4x on lane padding,
+# and the XLA alternatives are worse: the dot-then-slice einsum re-reads
+# the whole patch pyramid per iteration, and the tap gather itself was
+# measured at 35 ms per level on v5e (scalar-granularity gathers). Here
+# the (row, x, C) axes flatten to (row, x*C) so one patch window is a
+# contiguous 2D block — (window) rows x (window*C) lanes — fetched with a
+# single DMA per track at 32-element lane alignment.
+
+
+def _corr_smallc_kernel(base_ref, feat_ref, fmap_ref, out_ref, patch_ref,
+                        sem, *, window: int, C: int):
+    """One program = 8 tracks over a (S*Hp, Wp*C) row-flattened map.
+
+    base_ref: (T,) int32, y*65536 + x*C packed top-left corner.
+    feat_ref: (8, C) track features (VMEM block).
+    out_ref:  (8, window, 128) integer-grid correlations per row
+              (window used lanes; Mosaic cannot reshape lane groups, so
+              the (window, window) grid stays 2D).
+
+    The per-tap dot over C is a (window, window*C) @ (window*C, window)
+    matmul against a feature-masked selection matrix M[k, x] =
+    feat[k mod C] * [k div C == x] — lane-subgroup reductions are not
+    expressible as Mosaic vector reshapes, but this matmul is.
+    """
+    blk = pl.program_id(0)
+
+    def make_copy(slot, t):
+        code = base_ref[blk * _TB + t]
+        y0 = code // 65536
+        x0 = code - y0 * 65536
+        return pltpu.make_async_copy(
+            fmap_ref.at[pl.ds(y0, window), pl.ds(x0, window * C)],
+            patch_ref.at[slot, pl.ds(0, window), pl.ds(0, window * C)],
+            sem.at[slot])
+
+    WC = window * C
+    k_div = jax.lax.broadcasted_iota(jnp.int32, (WC, window), 0) // C
+    x_col = jax.lax.broadcasted_iota(jnp.int32, (WC, window), 1)
+    sel = (k_div == x_col)
+
+    make_copy(0, 0).start()
+    for t in range(_TB):
+        slot = t % 2
+        if t + 1 < _TB:
+            make_copy((t + 1) % 2, t + 1).start()
+        make_copy(slot, t).wait()
+
+        featk = jnp.concatenate([feat_ref[t, :]] * window)  # (WC,)
+        M = jnp.where(sel, featk[:, None], 0).astype(patch_ref.dtype)
+        ci = jax.lax.dot_general(
+            patch_ref[slot], M, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[:window]  # (window, window)
+        out_ref[t, :, :] = jnp.concatenate(
+            [ci, jnp.zeros((window, 128 - window), ci.dtype)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("radius", "interpret"))
+def corr_sample_pallas_smallc(fmap: jax.Array, coords: jax.Array,
+                              track_feats: jax.Array, radius: int = 3,
+                              interpret: bool = False) -> jax.Array:
+    """Small-C correlation of tracks against one pyramid level.
+
+    Same contract as :func:`corr_sample_pallas` — (S, H, W, C) maps,
+    (S, N, 2) positions, (S, N, C) features -> (S, N, (2r+1)^2) — for
+    C < 128 (the fine former's 32-channel patch pyramids). Requires
+    (W + 2*(r+2)) * C <= 65536 for the packed offsets (true for every
+    patch pyramid by orders of magnitude).
+    """
+    S, H, W, C = fmap.shape
+    N = coords.shape[1]
+    r = radius
+    window = 2 * r + 2
+    pad = r + 2
+    Hp = H + 2 * pad
+    Wp = W + 2 * pad
+    W1 = 2 * r + 1
+    if Wp * C > 65536:
+        raise ValueError("row too wide for packed offsets")
+
+    compute_dtype = fmap.dtype
+    fmap_p = jnp.pad(fmap, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    fmap_flat = fmap_p.reshape(S * Hp, Wp * C)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(C, jnp.float32))
+
+    base_f = jnp.floor(coords)
+    frac = (coords - base_f).astype(jnp.float32)
+    base_yx = (base_f[..., ::-1] - r + pad).astype(jnp.int32)
+    base_yx = jnp.clip(base_yx, 0, jnp.asarray(
+        [Hp - window, Wp - window], jnp.int32))
+    frame_off = (jnp.arange(S, dtype=jnp.int32) * Hp)[:, None]
+    gy = base_yx[..., 0] + frame_off
+    base_packed = (gy * 65536 + base_yx[..., 1] * C).reshape(-1)
+
+    feats_flat = track_feats.reshape(S * N, C).astype(compute_dtype)
+
+    T_total = S * N
+    t_pad = (-T_total) % _TB
+    if t_pad:
+        base_packed = jnp.pad(base_packed, (0, t_pad))
+        feats_flat = jnp.pad(feats_flat, ((0, t_pad), (0, 0)))
+    Tp = T_total + t_pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Tp // _TB,),
+        in_specs=[
+            pl.BlockSpec((_TB, C), lambda t, base: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S * Hp, Wp * C), lambda t, base: (0, 0),
+                         memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((_TB, window, 128), lambda t, base: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, _align8(window), window * C), compute_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = partial(_corr_smallc_kernel, window=window, C=C)
+    ci = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, window, 128), jnp.float32),
+        interpret=interpret,
+    )(base_packed, feats_flat, fmap_flat)
+
+    ci = ci[:T_total, :, :window].reshape(S, N, window, window)
+    fx = frac[..., 0, None, None]
+    fy = frac[..., 1, None, None]
+    corr = ((1 - fy) * (1 - fx) * ci[..., :W1, :W1]
+            + (1 - fy) * fx * ci[..., :W1, 1:]
+            + fy * (1 - fx) * ci[..., 1:, :W1]
+            + fy * fx * ci[..., 1:, 1:])
+    return corr.reshape(S, N, W1 * W1) * scale

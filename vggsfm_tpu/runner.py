@@ -265,7 +265,8 @@ class VGGSfMRunner:
 
             return refine_track(im, fnet, ftrack, tr, compute_score=True,
                                 matching_init=minit,
-                                subpixel_refine=subpix)
+                                subpixel_refine=subpix,
+                                patch_dtype=self.tracker.dtype)
         return self._jitted("fine", fn)(params, images, coarse)
 
     def _camera_forward(self, images):

@@ -38,17 +38,25 @@ def average_rotations(Rs: jax.Array) -> jax.Array:
 
 def average_camera_prediction(camera_forward, images, image_size,
                               query_indices=None, repeat_times: int = 5,
-                              seed: int = 0):
+                              seed: int = 0, model_input_size: int = 336):
     """Ensemble the camera predictor over several query orderings.
 
+    All Q orderings run as ONE batched forward: images are pre-resized
+    once to the predictor's input resolution (the model's internal resize
+    is then a no-op) and the orderings become a (Q, S, 336, 336, 3)
+    batch — Q sequential S-frame forwards were measured at ~1.6 s on the
+    matched workload purely from under-filled kernels.
+
     Args:
-      camera_forward: images (1, S, H, W, 3) -> pose encodings (1, S, 8).
+      camera_forward: images (Q, S, H, W, 3) -> pose encodings (Q, S, 8).
       images: (1, S, H, W, 3).
       image_size: (H, W) of the target camera frame.
 
     Returns (extrinsics (S, 3, 4), intrinsics (S, 3, 3)) averaged over
     query orderings, relative to frame 0.
     """
+    from vggsfm_tpu.models.sampling import interpolate_bilinear
+
     S = images.shape[1]
     if query_indices is None:
         rng = np.random.default_rng(seed)
@@ -57,13 +65,25 @@ def average_camera_prediction(camera_forward, images, image_size,
         if 0 not in query_indices:
             query_indices.insert(0, 0)
 
-    all_R, all_t, all_f = [], [], []
+    x = images[0]
+    if x.shape[1:3] != (model_input_size, model_input_size):
+        x = interpolate_bilinear(x, (model_input_size, model_input_size))
+
+    orders = []
     for qi in query_indices:
         order = np.arange(S)
         order[0], order[qi] = qi, 0
-        inv_order = np.argsort(order)
-        pose_enc = camera_forward(images[:, order])[0]
-        extr, intr = pose_encoding_to_extri_intri(pose_enc, image_size)
+        orders.append(order)
+    orders = np.stack(orders)  # (Q, S)
+    Q = orders.shape[0]
+    batch = x[jnp.asarray(orders.reshape(-1))].reshape(
+        (Q, S) + x.shape[1:])
+    pose_encs = camera_forward(batch)  # (Q, S, 8)
+
+    all_R, all_t, all_f = [], [], []
+    for i in range(Q):
+        inv_order = np.argsort(orders[i])
+        extr, intr = pose_encoding_to_extri_intri(pose_encs[i], image_size)
         extr = extr[inv_order]
         intr = intr[inv_order]
         # re-relativize to (the true) frame 0
