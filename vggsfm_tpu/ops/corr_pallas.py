@@ -192,15 +192,19 @@ def _corr_smallc_kernel(base_ref, feat_ref, fmap_ref, out_ref, patch_ref,
     """One program = 8 tracks over a (S*Hp, Wp*C) row-flattened map.
 
     base_ref: (T,) int32, y*65536 + x*C packed top-left corner.
-    feat_ref: (8, C) track features (VMEM block).
+    feat_ref: (8, window*C) track features, pre-tiled window times along
+              lanes by the caller (tiling inside the kernel would need a
+              lane-axis concatenate, which Mosaic cannot lower — observed
+              "Input offsets outside of the first tile" on v5e).
     out_ref:  (8, window, 128) integer-grid correlations per row
               (window used lanes; Mosaic cannot reshape lane groups, so
               the (window, window) grid stays 2D).
 
-    The per-tap dot over C is a (window, window*C) @ (window*C, window)
-    matmul against a feature-masked selection matrix M[k, x] =
-    feat[k mod C] * [k div C == x] — lane-subgroup reductions are not
-    expressible as Mosaic vector reshapes, but this matmul is.
+    The per-tap dot over C is (patch * feat_tiled) @ SEL, where SEL is the
+    CONSTANT 0/1 selection matrix SEL[k, x] = [k div C == x] of shape
+    (window*C, 128) — lane-subgroup reductions are not expressible as
+    Mosaic vector reshapes, but this matmul is, and padding SEL's column
+    axis to 128 zero-fills the output lanes without any concatenate.
     """
     blk = pl.program_id(0)
 
@@ -214,9 +218,9 @@ def _corr_smallc_kernel(base_ref, feat_ref, fmap_ref, out_ref, patch_ref,
             sem.at[slot])
 
     WC = window * C
-    k_div = jax.lax.broadcasted_iota(jnp.int32, (WC, window), 0) // C
-    x_col = jax.lax.broadcasted_iota(jnp.int32, (WC, window), 1)
-    sel = (k_div == x_col)
+    k_div = jax.lax.broadcasted_iota(jnp.int32, (WC, 128), 0) // C
+    x_col = jax.lax.broadcasted_iota(jnp.int32, (WC, 128), 1)
+    sel = jnp.where(k_div == x_col, 1, 0).astype(patch_ref.dtype)
 
     make_copy(0, 0).start()
     for t in range(_TB):
@@ -225,13 +229,11 @@ def _corr_smallc_kernel(base_ref, feat_ref, fmap_ref, out_ref, patch_ref,
             make_copy((t + 1) % 2, t + 1).start()
         make_copy(slot, t).wait()
 
-        featk = jnp.concatenate([feat_ref[t, :]] * window)  # (WC,)
-        M = jnp.where(sel, featk[:, None], 0).astype(patch_ref.dtype)
+        featk = feat_ref[pl.ds(t, 1), :]  # (1, WC), sublane-broadcasts
         ci = jax.lax.dot_general(
-            patch_ref[slot], M, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)[:window]  # (window, window)
-        out_ref[t, :, :] = jnp.concatenate(
-            [ci, jnp.zeros((window, 128 - window), ci.dtype)], axis=1)
+            patch_ref[slot] * featk, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (rows, 128)
+        out_ref[t, :, :] = ci[:window]
 
 
 @partial(jax.jit, static_argnames=("radius", "interpret"))
