@@ -50,6 +50,18 @@ def parse_args(argv):
     p.add_argument("--concat-extra-points", action="store_true",
                    help="also append the extra points (trackless) to the "
                         "exported COLMAP model")
+    p.add_argument("--query-by-midpoint", action="store_true",
+                   help="midpoint query ranking instead of DINO FPS "
+                        "(reference query_by_midpoint)")
+    p.add_argument("--query-by-interval", action="store_true",
+                   help="stride query ranking (reference "
+                        "query_by_interval; midpoint wins if both set)")
+    p.add_argument("--center-order", action="store_true",
+                   help="anchor the solve on the top-ranked query frame "
+                        "(reference center_order)")
+    p.add_argument("--visual-query-points", action="store_true",
+                   help="save query-point overlays to OUT/visuals "
+                        "(reference visual_query_points)")
     p.add_argument("--camera-type", default="SIMPLE_PINHOLE",
                    choices=["SIMPLE_PINHOLE", "SIMPLE_RADIAL"])
     p.add_argument("--shared-camera", action="store_true")
@@ -99,6 +111,10 @@ def build_config(args):
         make_glb=args.glb,
         visual_tracks=args.visual_tracks,
         make_reproj_frames=args.reproj_frames,
+        query_by_midpoint=args.query_by_midpoint,
+        query_by_interval=args.query_by_interval,
+        center_order=args.center_order,
+        visual_query_points=args.visual_query_points,
         seed=args.seed,
         profile_dir=args.profile_dir,
         extra_pt_pixel_interval=args.extra_pt_pixel_interval,

@@ -79,18 +79,21 @@ class TestAverageCameraPrediction:
         call_count = [0]
 
         def noisy_forward(imgs):
-            order = np.asarray(imgs[0, :, 0, 0, 0]).astype(int)
-            # per-call noise: each query ordering sees a different draw
-            call_count[0] += 1
-            local = np.random.default_rng(100 + call_count[0])
-            noisy = gt[order].copy()
-            for s in range(S):
-                noisy[s, :, :3] = small_rotation(local, 0.06) \
-                    @ noisy[s, :, :3]
-                noisy[s, :, 3] += local.normal(scale=0.05, size=3)
-            enc = extri_intri_to_pose_encoding(
-                jnp.asarray(noisy), jnp.asarray(K), (H, H))
-            return enc[None]
+            # batched contract: (Q, S, H, W, 3) -> (Q, S, 8)
+            encs = []
+            for qi in range(imgs.shape[0]):
+                order = np.asarray(imgs[qi, :, 0, 0, 0]).astype(int)
+                # per-ordering noise: each query ordering sees its own draw
+                call_count[0] += 1
+                local = np.random.default_rng(100 + call_count[0])
+                noisy = gt[order].copy()
+                for s in range(S):
+                    noisy[s, :, :3] = small_rotation(local, 0.06) \
+                        @ noisy[s, :, :3]
+                    noisy[s, :, 3] += local.normal(scale=0.05, size=3)
+                encs.append(extri_intri_to_pose_encoding(
+                    jnp.asarray(noisy), jnp.asarray(K), (H, H)))
+            return jnp.stack(encs)
 
         extr_avg, _ = average_camera_prediction(
             noisy_forward, images, (H, H),

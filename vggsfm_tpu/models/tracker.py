@@ -83,10 +83,49 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
                 radius=radius)
             out.append(corr.reshape(B, S, N, -1).astype(track_feats.dtype))
             continue
-        # small-C variant (fine-former C=32 patch pyramids): row-flattened
-        # DMA windows; the XLA alternatives both lose by an order of
-        # magnitude here (dot-then-slice re-reads the pyramid per iter,
-        # tap gathers run at scalar granularity — 35 ms/level measured)
+        if N == 1 and H * W <= 4096 and C < 128:
+            # fine-former patch maps (one track per patch "video", C=32):
+            # compute the FULL correlation map per iteration as a
+            # C-in-sublanes broadcast-multiply-reduce, then window-gather
+            # scalars. The transposed pyramid layout is iteration-
+            # invariant, so XLA CSE hoists it out of the 6-iter unroll;
+            # per iteration only the (T, C, HW) elementwise pass and a
+            # 64-scalar-per-track gather remain. This beats both XLA
+            # alternatives (the N=1-degenerate dot-then-slice einsum and
+            # scalar-granularity tap gathers) and replaces the per-track
+            # DMA kernel (ops/corr_pallas.py smallc) whose 12 KB fetches
+            # are issue-rate-bound at 16k tracks x 18 level-iters.
+            T = B * S
+            fm_t = jnp.swapaxes(fmap.reshape(T, H * W, C), -1, -2)
+            tf = track_feats.reshape(T, 1, C).swapaxes(-1, -2)  # (T, C, 1)
+            cm = jnp.sum((fm_t * tf).astype(jnp.float32), axis=1)
+            cmap = cm.reshape(B, S, 1, H, W)
+            base = jnp.floor(centers)
+            frac = (centers - base).astype(track_feats.dtype)
+            offs = jnp.arange(-r, r + 2, dtype=jnp.int32)
+            oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+            ix = base[..., 0].astype(jnp.int32)[..., None, None] + ox
+            iy = base[..., 1].astype(jnp.int32)[..., None, None] + oy
+            ok = ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H))
+            idx = (jnp.clip(iy, 0, H - 1) * W
+                   + jnp.clip(ix, 0, W - 1))
+            ci = jnp.take_along_axis(
+                cmap.reshape(B, S, N, H * W),
+                idx.reshape(B, S, N, window * window), axis=-1)
+            ci = (ci * ok.reshape(B, S, N, -1)).reshape(
+                B, S, N, window, window)
+            ci = ci.astype(track_feats.dtype)
+            fx = frac[..., 0, None, None]
+            fy = frac[..., 1, None, None]
+            corr = ((1 - fy) * (1 - fx) * ci[..., :W1, :W1]
+                    + (1 - fy) * fx * ci[..., :W1, 1:]
+                    + fy * (1 - fx) * ci[..., 1:, :W1]
+                    + fy * fx * ci[..., 1:, 1:])
+            out.append(corr.reshape(B, S, N, W1 * W1)
+                       / jnp.sqrt(C).astype(corr.dtype))
+            continue
+        # small-C variant (C < 128 with many tracks per map): row-
+        # flattened DMA windows (ops/corr_pallas.py smallc)
         if use_pallas and C < 128:
             from vggsfm_tpu.ops.corr_pallas import corr_sample_pallas_smallc
 

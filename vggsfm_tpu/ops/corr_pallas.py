@@ -183,44 +183,55 @@ def corr_sample_pallas(fmap: jax.Array, coords: jax.Array,
 # the whole patch pyramid per iteration, and the tap gather itself was
 # measured at 35 ms per level on v5e (scalar-granularity gathers). Here
 # the (row, x, C) axes flatten to (row, x*C) so one patch window is a
-# contiguous 2D block — (window) rows x (window*C) lanes — fetched with a
-# single DMA per track at 32-element lane alignment.
+# contiguous 2D block fetched with one DMA per track.
+#
+# Mosaic requires dynamic HBM slice starts to be provably divisible by the
+# (8, 128) tiling on BOTH dims of a 2D memref ("Failed to prove that a
+# tile index in dimension 0 is divisible by the tiling (8)" on v5e
+# otherwise). So the DMA fetches a TILE-ALIGNED covering block — 16 rows x
+# (window*C + 128) lanes at corners rounded down to (8, 128) multiples,
+# asserted via pl.multiple_of — and the kernel resolves the residual
+# offsets itself: the lane offset is always a multiple of C, which the
+# window-tiled feature vector is invariant to, so it folds into the
+# dynamically-built tap-selection matrix; the row offset (0..7) is
+# resolved OUTSIDE the kernel by a cheap XLA gather over the 16 emitted
+# correlation rows.
 
 
-def _corr_smallc_kernel(base_ref, feat_ref, fmap_ref, out_ref, patch_ref,
-                        sem, *, window: int, C: int):
-    """One program = 8 tracks over a (S*Hp, Wp*C) row-flattened map.
+def _corr_smallc_kernel(rows_ref, cols_ref, dxl_ref, feat_ref, fmap_ref,
+                        out_ref, patch_ref, sem, *, window: int, C: int,
+                        rows_blk: int, lanes_blk: int):
+    """One program = _TB tracks over a (S*Hp, Wp*C) row-flattened map.
 
-    base_ref: (T,) int32, y*65536 + x*C packed top-left corner.
-    feat_ref: (8, window*C) track features, pre-tiled window times along
-              lanes by the caller (tiling inside the kernel would need a
-              lane-axis concatenate, which Mosaic cannot lower — observed
-              "Input offsets outside of the first tile" on v5e).
-    out_ref:  (8, window, 128) integer-grid correlations per row
-              (window used lanes; Mosaic cannot reshape lane groups, so
-              the (window, window) grid stays 2D).
+    rows_ref: (T,) int32 covering-block top row, multiple of 8.
+    cols_ref: (T,) int32 covering-block left lane, multiple of 128.
+    dxl_ref:  (T,) int32 residual lane offset of the true window inside
+              the covering block — a multiple of C in [0, 128).
+    feat_ref: (_TB, lanes_blk) track features tiled along lanes with
+              period C by the caller (tiling inside the kernel would need
+              a lane-axis concatenate, which Mosaic cannot lower).
+    out_ref:  (_TB, rows_blk, 128) integer-grid correlations per covering
+              row (window used lanes; the caller gathers the window rows).
 
-    The per-tap dot over C is (patch * feat_tiled) @ SEL, where SEL is the
-    CONSTANT 0/1 selection matrix SEL[k, x] = [k div C == x] of shape
-    (window*C, 128) — lane-subgroup reductions are not expressible as
-    Mosaic vector reshapes, but this matmul is, and padding SEL's column
-    axis to 128 zero-fills the output lanes without any concatenate.
+    The per-tap dot over C is (patch * feat_tiled) @ SEL with the dynamic
+    selection matrix SEL[k, x] = [(k - dxl) div C == x and
+    0 <= k - dxl < window*C] — lane-subgroup reductions are not
+    expressible as Mosaic vector reshapes, but this matmul is, and it
+    absorbs the residual lane offset for free (feat_tiled has period C,
+    so it needs no shift).
     """
     blk = pl.program_id(0)
 
     def make_copy(slot, t):
-        code = base_ref[blk * _TB + t]
-        y0 = code // 65536
-        x0 = code - y0 * 65536
+        y0 = pl.multiple_of(rows_ref[blk * _TB + t], 8)
+        x0 = pl.multiple_of(cols_ref[blk * _TB + t], 128)
         return pltpu.make_async_copy(
-            fmap_ref.at[pl.ds(y0, window), pl.ds(x0, window * C)],
-            patch_ref.at[slot, pl.ds(0, window), pl.ds(0, window * C)],
+            fmap_ref.at[pl.ds(y0, rows_blk), pl.ds(x0, lanes_blk)],
+            patch_ref.at[slot],
             sem.at[slot])
 
-    WC = window * C
-    k_div = jax.lax.broadcasted_iota(jnp.int32, (WC, 128), 0) // C
-    x_col = jax.lax.broadcasted_iota(jnp.int32, (WC, 128), 1)
-    sel = jnp.where(k_div == x_col, 1, 0).astype(patch_ref.dtype)
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (lanes_blk, 128), 0)
+    x_col = jax.lax.broadcasted_iota(jnp.int32, (lanes_blk, 128), 1)
 
     make_copy(0, 0).start()
     for t in range(_TB):
@@ -229,11 +240,15 @@ def _corr_smallc_kernel(base_ref, feat_ref, fmap_ref, out_ref, patch_ref,
             make_copy((t + 1) % 2, t + 1).start()
         make_copy(slot, t).wait()
 
-        featk = feat_ref[pl.ds(t, 1), :]  # (1, WC), sublane-broadcasts
+        dxl = dxl_ref[blk * _TB + t]
+        k_rel = k_idx - dxl
+        sel = jnp.where((k_rel // C == x_col) & (k_rel >= 0)
+                        & (k_rel < window * C), 1, 0).astype(patch_ref.dtype)
+        featk = feat_ref[pl.ds(t, 1), :]  # (1, lanes_blk), broadcasts
         ci = jax.lax.dot_general(
             patch_ref[slot] * featk, sel, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (rows, 128)
-        out_ref[t, :, :] = ci[:window]
+            preferred_element_type=jnp.float32)  # (rows_blk, 128)
+        out_ref[t, :, :] = ci
 
 
 @partial(jax.jit, static_argnames=("radius", "interpret"))
@@ -244,9 +259,7 @@ def corr_sample_pallas_smallc(fmap: jax.Array, coords: jax.Array,
 
     Same contract as :func:`corr_sample_pallas` — (S, H, W, C) maps,
     (S, N, 2) positions, (S, N, C) features -> (S, N, (2r+1)^2) — for
-    C < 128 (the fine former's 32-channel patch pyramids). Requires
-    (W + 2*(r+2)) * C <= 65536 for the packed offsets (true for every
-    patch pyramid by orders of magnitude).
+    C < 128 (the fine former's 32-channel patch pyramids).
     """
     S, H, W, C = fmap.shape
     N = coords.shape[1]
@@ -256,8 +269,6 @@ def corr_sample_pallas_smallc(fmap: jax.Array, coords: jax.Array,
     Hp = H + 2 * pad
     Wp = W + 2 * pad
     W1 = 2 * r + 1
-    if Wp * C > 65536:
-        raise ValueError("row too wide for packed offsets")
 
     compute_dtype = fmap.dtype
     fmap_p = jnp.pad(fmap, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
@@ -270,44 +281,69 @@ def corr_sample_pallas_smallc(fmap: jax.Array, coords: jax.Array,
     base_yx = jnp.clip(base_yx, 0, jnp.asarray(
         [Hp - window, Wp - window], jnp.int32))
     frame_off = (jnp.arange(S, dtype=jnp.int32) * Hp)[:, None]
-    gy = base_yx[..., 0] + frame_off
-    base_packed = (gy * 65536 + base_yx[..., 1] * C).reshape(-1)
+    gy = (base_yx[..., 0] + frame_off).reshape(-1)  # (S*N,) true top row
+    gxl = (base_yx[..., 1] * C).reshape(-1)  # true left lane
 
-    feats_flat = track_feats.reshape(S * N, C).astype(compute_dtype)
+    # tile-aligned covering block: 16 rows x (window*C + 128) lanes
+    rows_blk = 2 * _TB
+    lanes_blk = window * C + 128
+    y0a = (gy // 8) * 8
+    x0a = (gxl // 128) * 128
+    dy = gy - y0a  # row residual in [0, 8)
+    dxl = gxl - x0a  # lane residual, multiple of C in [0, 128)
+
+    # pad so every covering block is in-bounds (max y0a + 16 and
+    # max x0a + lanes_blk exceed the raw extents by < one tile each)
+    lane_pad = (-(Wp * C) % 128) + 128
+    fmap_flat = jnp.pad(fmap_flat, ((0, rows_blk), (0, lane_pad)))
+
+    # feature vectors tiled along lanes with period C (the selection
+    # matrix absorbs the lane residual, so one tiling serves all offsets)
+    reps = lanes_blk // C
+    feats_flat = jnp.tile(
+        track_feats.reshape(S * N, C).astype(compute_dtype), (1, reps))
 
     T_total = S * N
     t_pad = (-T_total) % _TB
     if t_pad:
-        base_packed = jnp.pad(base_packed, (0, t_pad))
+        y0a = jnp.pad(y0a, (0, t_pad))
+        x0a = jnp.pad(x0a, (0, t_pad))
+        dxl = jnp.pad(dxl, (0, t_pad))
         feats_flat = jnp.pad(feats_flat, ((0, t_pad), (0, 0)))
     Tp = T_total + t_pad
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(Tp // _TB,),
         in_specs=[
-            pl.BlockSpec((_TB, C), lambda t, base: (t, 0),
+            pl.BlockSpec((_TB, lanes_blk), lambda t, r_, c_, d_: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * Hp, Wp * C), lambda t, base: (0, 0),
+            pl.BlockSpec(fmap_flat.shape, lambda t, r_, c_, d_: (0, 0),
                          memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((_TB, window, 128), lambda t, base: (t, 0, 0),
+        out_specs=pl.BlockSpec((_TB, rows_blk, 128),
+                               lambda t, r_, c_, d_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, _align8(window), window * C), compute_dtype),
+            pltpu.VMEM((2, rows_blk, lanes_blk), compute_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    kernel = partial(_corr_smallc_kernel, window=window, C=C)
+    kernel = partial(_corr_smallc_kernel, window=window, C=C,
+                     rows_blk=rows_blk, lanes_blk=lanes_blk)
     ci = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Tp, window, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Tp, rows_blk, 128), jnp.float32),
         interpret=interpret,
-    )(base_packed, feats_flat, fmap_flat)
+    )(y0a, x0a, dxl, feats_flat, fmap_flat)
 
-    ci = ci[:T_total, :, :window].reshape(S, N, window, window)
+    # resolve the row residual: gather the window rows out of the 16
+    # covering rows (a (T, window, window) pick from (T, 16, 128) — tiny)
+    row_idx = dy[:T_total, None] + jnp.arange(window)[None, :]
+    ci = jnp.take_along_axis(ci[:T_total], row_idx[..., None], axis=1)
+    ci = ci[:, :, :window].reshape(S, N, window, window)
     fx = frac[..., 0, None, None]
     fy = frac[..., 1, None, None]
     corr = ((1 - fy) * (1 - fx) * ci[..., :W1, :W1]

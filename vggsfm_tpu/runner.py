@@ -96,6 +96,18 @@ class RunnerConfig:
     # midpoint query ranking instead of DINO-similarity FPS (reference
     # query_by_midpoint, cfgs/demo.yaml:62; DINO is the default path)
     query_by_midpoint: bool = False
+    # stride ranking 0, k, 2k, ... with k = S // query_num + 1 (reference
+    # query_by_interval, runners/runner.py:347-349, utils/utils.py:253-262;
+    # midpoint takes precedence when both are set, like the reference)
+    query_by_interval: bool = False
+    # re-anchor the sequence on the top-ranked query frame: swap it with
+    # frame 0 for the whole solve, swap the outputs back (reference
+    # center_order, cfgs/demo.yaml:15, runners/runner.py:359-386, :579-588)
+    center_order: bool = False
+    # save query-point overlays (OUT/visuals/query_points_*.png) for each
+    # query frame (reference visual_query_points, cfgs/demo.yaml:58,
+    # utils/utils.py:311-338)
+    visual_query_points: bool = False
     profile_dir: str | None = None  # capture a JAX profiler trace here
     camera_type: str = "SIMPLE_PINHOLE"
     shared_camera: bool = False
@@ -178,6 +190,7 @@ class VGGSfMRunner:
         self._weights_loaded = False
         self._jit_cache = {}
         self._depth = None  # (module, params), built lazily
+        self._query_point_log = []  # (frame, qp, valid) per query extract
 
     # ------------------------------------------------------------------
     # parameters
@@ -404,6 +417,7 @@ class VGGSfMRunner:
         """
         from vggsfm_tpu.utils.camera_avg import (
             rank_by_dino_similarity,
+            rank_by_interval,
             rank_by_midpoint,
         )
 
@@ -413,6 +427,8 @@ class VGGSfMRunner:
             return [0]
         if self.cfg.query_by_midpoint:
             return rank_by_midpoint(S, q)
+        if self.cfg.query_by_interval:
+            return rank_by_interval(S, S // q + 1)[:q]
         desc = self._frame_descriptors(images)
         return rank_by_dino_similarity(desc[0], q)[:q]
 
@@ -439,6 +455,9 @@ class VGGSfMRunner:
             qp, qp_valid = get_query_points(
                 images[0, qframe], sub, query_method,
                 max_query_pts, seg_invalid_mask=seg_mask)
+            if self.cfg.visual_query_points:
+                self._query_point_log.append(
+                    (int(qframe), np.asarray(qp), np.asarray(qp_valid)))
 
             order = np.arange(S)
             order[0], order[qframe] = qframe, 0
@@ -502,6 +521,7 @@ class VGGSfMRunner:
         images = images[None]  # (1, S, R, R, 3)
         B, S, H, W, _ = images.shape
         timings = {}
+        self._query_point_log = []
         prof = cfg.profile_dir is not None
         if prof:
             try:
@@ -516,6 +536,28 @@ class VGGSfMRunner:
         # 1. query frames (DINO-similarity FPS by default)
         with _stage(timings, "query_rank", prof):
             query_indices = self.select_query_frames(images)
+
+        # 1b. center_order: anchor the solve on the top-ranked frame by
+        # swapping it with frame 0 (a self-inverse permutation); per-frame
+        # outputs are swapped back before returning (reference
+        # runners/runner.py:359-386 + :579-588)
+        center_perm = None
+        if cfg.center_order and query_indices and query_indices[0] != 0:
+            center = query_indices[0]
+            center_perm = np.arange(S)
+            center_perm[0], center_perm[center] = center, 0
+            images = images[:, center_perm]
+            if masks is not None:
+                masks = np.asarray(masks)[center_perm]
+            if host_images is not None:
+                host_images = host_images[center_perm]
+            if image_names is not None:
+                image_names = [image_names[i] for i in center_perm]
+            if crop_params is not None:
+                crop_params = np.asarray(crop_params)[center_perm]
+            query_indices = [center if x == 0 else (0 if x == center else x)
+                             for x in query_indices]
+            query_indices[0] = 0
 
         # 2. camera init — single resize to 336 inside the stage (the
         # reference resizes once too, camera_predictor.py:241-303);
@@ -651,6 +693,22 @@ class VGGSfMRunner:
                 reconstruction_to_glb(
                     predictions, os.path.join(output_dir, "scene.glb"),
                     image_size=(W, H))
+            if cfg.visual_query_points and self._query_point_log:
+                from vggsfm_tpu.utils.visualizer import (
+                    visualize_query_points,
+                )
+
+                qimgs = (host_images if host_images is not None
+                         else np.asarray(images[0]))
+                vdir = os.path.join(output_dir, "visuals")
+                for qi, (qframe, qp, qvalid) in enumerate(
+                        self._query_point_log):
+                    visualize_query_points(
+                        qimgs[qframe], qp,
+                        os.path.join(vdir,
+                                     f"query_points_{qi:02d}_f{qframe:04d}"
+                                     ".png"),
+                        valid=qvalid > 0.5)
             if cfg.visual_tracks or cfg.make_reproj_frames:
                 from vggsfm_tpu.utils.visualizer import (
                     visualize_reprojections,
@@ -671,6 +729,21 @@ class VGGSfMRunner:
                         predictions["intrinsics"],
                         predictions["valid_tracks"], vdir,
                         extra_params=predictions.get("extra_params"))
+        if center_perm is not None:
+            # swap per-frame outputs back to the caller's frame order (the
+            # permutation is self-inverse); the exported model already used
+            # the permuted image names consistently (reference
+            # runners/runner.py:579-588)
+            for k in ("extrinsics", "intrinsics", "extra_params",
+                      "valid_frame_mask", "valid_2d_mask", "depth_maps",
+                      "depth_align_coeffs", "depth_inlier_frac"):
+                if predictions.get(k) is not None:
+                    predictions[k] = np.asarray(predictions[k])[center_perm]
+            for k in ("pred_track", "pred_vis", "pred_score"):
+                if predictions.get(k) is not None:
+                    predictions[k] = np.asarray(
+                        predictions[k])[:, center_perm]
+            predictions["center_perm"] = center_perm
         return predictions
 
     def _choose_camera_init(self, extr_neural, intr_neural, pre, track,

@@ -143,7 +143,8 @@ def _reproj_residuals(extrinsic, points3D, points2D_norm):
     return jnp.where(z <= 0, BIG_RESIDUAL, res)
 
 
-@partial(jax.jit, static_argnames=("max_ransac_iters", "lo_num", "f_trials"))
+@partial(jax.jit, static_argnames=("max_ransac_iters", "lo_num", "f_trials",
+                                   "refine"))
 def absolute_pose_ransac(
     points3D: jax.Array,
     points2D: jax.Array,
@@ -154,12 +155,17 @@ def absolute_pose_ransac(
     max_ransac_iters: int = 256,
     lo_num: int = 32,
     f_trials: int = 17,
+    refine: str = "dlt",
 ):
     """LORANSAC PnP with focal sweep over batched frames.
 
     Args:
       points3D: (B, P, 3); points2D: (B, P, 2) pixels; intrinsics (B, 3, 3).
       valid_mask: optional (B, P).
+      refine: local-refinement solver over each candidate's inlier set —
+        'dlt' (mask-weighted 6-point DLT re-solve) or 'epnp' (the
+        reference's EPnP control-point refinement,
+        two_view_geo/pnp.py:140 + perspective_n_points.py:321-437).
 
     Returns dict ``extrinsics (B,3,4)``, ``intrinsics (B,3,3)``,
     ``inlier_num (B,)``, ``inlier_mask (B,P)``.
@@ -230,8 +236,16 @@ def absolute_pose_ransac(
 
     p3_lo = jnp.broadcast_to(p3f[:, None], (B * F, lo_num, P, 3))
     p2_lo = jnp.broadcast_to(p2f[:, None], (B * F, lo_num, P, 2))
-    pose_lo = solve_pnp_dlt(p3_lo, p2_lo, inl_sel.astype(p3f.dtype),
-                            point_chunk=2048)
+    if refine == "epnp":
+        from vggsfm_tpu.twoview.epnp import efficient_pnp
+
+        pose_lo = efficient_pnp(
+            p3_lo, p2_lo, weights=inl_sel.astype(p3f.dtype))["extrinsics"]
+    elif refine == "dlt":
+        pose_lo = solve_pnp_dlt(p3_lo, p2_lo, inl_sel.astype(p3f.dtype),
+                                point_chunk=2048)
+    else:
+        raise ValueError(f"unknown PnP refine mode {refine!r}")
 
     res_lo = _reproj_residuals(pose_lo, p3f[:, None], p2f[:, None])
     res_lo = jnp.where(vf[:, None], res_lo, BIG_RESIDUAL)

@@ -79,6 +79,13 @@ def average_camera_prediction(camera_forward, images, image_size,
     batch = x[jnp.asarray(orders.reshape(-1))].reshape(
         (Q, S) + x.shape[1:])
     pose_encs = camera_forward(batch)  # (Q, S, 8)
+    if tuple(pose_encs.shape[:2]) != (Q, S):
+        # JAX clamps out-of-bounds indices, so a wrong leading dim would
+        # otherwise SILENTLY reuse ordering 0's prediction for every
+        # ordering — fail loudly instead.
+        raise ValueError(
+            f"camera_forward must return (Q={Q}, S={S}, D) pose encodings "
+            f"for a (Q, S, H, W, 3) batch; got {tuple(pose_encs.shape)}")
 
     all_R, all_t, all_f = [], [], []
     for i in range(Q):
@@ -137,4 +144,16 @@ def rank_by_midpoint(S: int, query_num: int):
     idx = np.linspace(0, S - 1, min(query_num, S)).round().astype(int)
     out = sorted(set(int(i) for i in idx))
     out.sort(key=lambda i: i != 0)
+    return out
+
+
+def rank_by_interval(S: int, k: int):
+    """Stride ordering: 0, k, 2k, ..., 1, k+1, ... (utils/utils.py:253-262).
+
+    The reference calls this with k = S // query_num + 1 so the first
+    `query_num` entries stride evenly across the sequence.
+    """
+    out = []
+    for start in range(k):
+        out.extend(range(start, S, k))
     return out

@@ -42,6 +42,27 @@ def draw_points(image: np.ndarray, xy: np.ndarray, colors: np.ndarray,
     return out
 
 
+def visualize_query_points(image: np.ndarray, xy: np.ndarray,
+                           path: str, valid: np.ndarray | None = None,
+                           radius: int = 4):
+    """Save one frame with its extracted query points stamped green.
+
+    Parity: utils/utils.py:311-338 (`visual_query_points` — the
+    reference's cv2.circle debug overlay; squares here, no cv2 in-env).
+    `image` is (H, W, 3) float [0,1] or uint8; `xy` is (N, 2) pixels.
+    """
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = np.clip(img * 255, 0, 255).astype(np.uint8)
+    colors = np.tile(np.array([[0, 255, 0]], np.uint8), (len(xy), 1))
+    out = draw_points(img, xy, colors, radius=radius, valid=valid)
+    Image.fromarray(out).save(path)
+    return path
+
+
 def visualize_tracks(images: np.ndarray, tracks: np.ndarray,
                      visibility: np.ndarray | None, output_dir: str,
                      prefix: str = "tracks", gif: bool = True,

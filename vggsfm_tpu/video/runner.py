@@ -41,9 +41,12 @@ from vggsfm_tpu.twoview.pnp import absolute_pose_ransac
 
 @dataclasses.dataclass
 class VideoConfig:
-    init_window_size: int = 16
-    window_size: int = 8
-    joint_ba_interval: int = 4
+    # reference video operating point (cfgs/video_demo.yaml:6-13):
+    # 32/16/6 windows; the shipped CLI additionally defaults to a shared
+    # SIMPLE_RADIAL camera + midpoint query ranking (video_demo.py)
+    init_window_size: int = 32
+    window_size: int = 16
+    joint_ba_interval: int = 6
     max_query_pts: int = 1024
     query_method: str = "auto"  # see extractors/dispatch.py
     min_inlier_per_frame: int = 30
