@@ -116,10 +116,13 @@ class RunnerConfig:
     ba_iters: int = 2
     # epipolar (Sampson) inlier threshold for the preliminary two-view
     # fundamental estimation, in px (reference fmat_thres,
-    # cfgs/demo.yaml:19, runners/runner.py:484)
-    fmat_thres: float = 0.5
+    # cfgs/demo.yaml:19, runners/runner.py:484). Matched to the
+    # reference's 4.0 after a noise-swept A/B (tools/ab_gates.py,
+    # ROADMAP "quality gates"): identical AUC on clean tracks, +0.09-0.12
+    # AUC at 2 px noise / 30% outliers vs the round-3 0.5 px gate.
+    fmat_thres: float = 4.0
     max_reproj_error: float = 4.0
-    init_max_reproj_error: float = 0.5
+    init_max_reproj_error: float = 4.0
     seed: int = 0
     checkpoint: str | None = None
     extract_color: bool = True
@@ -168,9 +171,11 @@ class RunnerConfig:
     precision: str = "bf16"
     # compile the WHOLE SfM solve (run_sfm) as one XLA program instead of
     # eager glue between jitted kernels — removes hundreds of dispatch
-    # round-trips on a tunneled backend at the cost of a much larger
-    # one-time compile. Opt-in until measured on the real chip.
-    jit_sfm: bool = False
+    # round-trips on a tunneled backend. On-chip A/B (tools/perf_probe.py
+    # --probe sfm, 8 frames x 16k tracks, v5e): steady 2.81 s jitted vs
+    # 3.21 s eager, and first-call 168 s vs 281 s (one program compiles
+    # FASTER than the eager glue's many kernels). Default on.
+    jit_sfm: bool = True
     # fused Pallas correlation kernel (TPU only; XLA fallback elsewhere)
     use_pallas_corr: bool | None = None
 

@@ -36,7 +36,9 @@ from vggsfm_tpu.sfm.refine import camera_validity_mask, refine_poses
 
 @dataclasses.dataclass(frozen=True)
 class SfmConfig:
-    init_max_reproj_error: float = 0.5
+    # matched to the reference's 4.0 px (cfgs/demo.yaml:34) after the
+    # noise-swept A/B in tools/ab_gates.py (see ROADMAP "quality gates")
+    init_max_reproj_error: float = 4.0
     max_reproj_error: float = 4.0
     init_tri_angle_thres: float = 16.0
     min_valid_track_length: int = 3
