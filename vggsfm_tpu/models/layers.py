@@ -36,21 +36,30 @@ class TorchMultiheadAttention(nn.Module):
     def __call__(self, q, k, v):
         H = self.num_heads
         D = self.dim // H
-        qkv = nn.Dense(3 * self.dim, name="in_proj", dtype=self.dtype)
-        # packed projection: split rows exactly like torch's in_proj_weight
-        wq = qkv(q)[..., : self.dim] if q is not k else None
+        # packed q|k|v projection, parameter-compatible with both
+        # nn.Dense {kernel, bias} and torch's in_proj_weight — but applied
+        # via explicit kernel SLICES so cross attention only computes the
+        # projections it uses (calling the full Dense on q, k, and v
+        # separately tripled the projection FLOPs on the large token set)
+        w = self.param(
+            "in_proj",
+            lambda key, shape, dt: {
+                "kernel": nn.initializers.lecun_normal()(
+                    key, shape, dt),
+                "bias": jnp.zeros((shape[1],), dt)},
+            (q.shape[-1], 3 * self.dim), jnp.float32)
+        kernel = w["kernel"].astype(self.dtype)
+        bias = w["bias"].astype(self.dtype)
+
+        def proj(x, lo, hi):
+            return x @ kernel[:, lo:hi] + bias[lo:hi]
+
         if q is k and k is v:
-            proj = qkv(q)
-            xq, xk, xv = jnp.split(proj, 3, axis=-1)
+            xq, xk, xv = jnp.split(proj(q, 0, 3 * self.dim), 3, axis=-1)
         else:
-            # cross attention: same packed kernel, applied separately
-            full_q = qkv(q)
-            full_k = qkv(k)
-            full_v = qkv(v)
-            xq = full_q[..., : self.dim]
-            xk = full_k[..., self.dim: 2 * self.dim]
-            xv = full_v[..., 2 * self.dim:]
-        del wq
+            xq = proj(q, 0, self.dim)
+            xk = proj(k, self.dim, 2 * self.dim)
+            xv = proj(v, 2 * self.dim, 3 * self.dim)
 
         def split_heads(x):
             B, L, _ = x.shape

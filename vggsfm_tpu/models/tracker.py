@@ -50,6 +50,46 @@ def build_corr_pyramid(fmaps: jax.Array, num_levels: int) -> list:
     return pyramid
 
 
+def _bilinear_window_matmul(cmap: jax.Array, centers: jax.Array, r: int,
+                            dt) -> jax.Array:
+    """Bilinear (2r+1)^2 windows out of scalar correlation maps — as two
+    batched one-hot matmuls, ZERO gathers.
+
+        corr[p, q] = sum_{i,j} uy[p, i] * cmap[i, j] * vx[q, j]
+        uy[p, i] = (1-fy) * [i == y0+p] + fy * [i == y0+p+1]
+
+    The bilinear weights are folded into the selection matrices, and an
+    out-of-range tap matches no one-hot column, so border zeroing falls
+    out for free. Replaces per-tap take_along_axis: TPU scalar gathers
+    are issue-rate-bound (~17 ms per level-iter at 16k track-frames,
+    tools/perf_probe2.py) while these are dense VPU/MXU batched matmuls.
+
+    Args: cmap (B, S, N, H, W) scalar corr maps; centers (B, S, N, 2).
+    Returns (B, S, N, (2r+1)^2) in dtype `dt`.
+    """
+    B, S, N, H, W = cmap.shape
+    W1 = 2 * r + 1
+    base = jnp.floor(centers)
+    frac = (centers - base).astype(dt)
+    x0 = base[..., 0].astype(jnp.int32) - r  # (B, S, N)
+    y0 = base[..., 1].astype(jnp.int32) - r
+    fx = frac[..., 0][..., None, None]  # (B, S, N, 1, 1)
+    fy = frac[..., 1][..., None, None]
+    taps = jnp.arange(W1, dtype=jnp.int32)
+    iy = y0[..., None] + taps  # (B, S, N, W1)
+    ix = x0[..., None] + taps
+    rows = jnp.arange(H, dtype=jnp.int32)
+    cols = jnp.arange(W, dtype=jnp.int32)
+    uy = ((rows == iy[..., None]).astype(dt) * (1 - fy)
+          + (rows == (iy + 1)[..., None]).astype(dt) * fy)
+    vx = ((cols == ix[..., None]).astype(dt) * (1 - fx)
+          + (cols == (ix + 1)[..., None]).astype(dt) * fx)
+    # uy: (B, S, N, W1, H); vx: (B, S, N, W1, W)
+    tmp = jnp.einsum("bsnph,bsnhw->bsnpw", uy, cmap.astype(dt))
+    corr = jnp.einsum("bsnpw,bsnqw->bsnpq", tmp, vx)
+    return corr.reshape(B, S, N, W1 * W1)
+
+
 def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
                 radius: int, use_pallas: bool = False) -> jax.Array:
     """Fused neighborhood-sample + dot correlation.
@@ -71,6 +111,27 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
     for i, fmap in enumerate(pyramid):
         _, _, H, W, _ = fmap.shape
         centers = coords / (2.0 ** i)
+        # many tracks per map: the FULL correlation as one MXU GEMM per
+        # map — (HW, C) @ (C, N) reads the fmap once for all N tracks —
+        # then bilinear windows via the one-hot matmuls. On-chip this
+        # beats both the XLA tap-gather path (scalar gathers) and the
+        # per-window DMA kernel (fetch-issue-bound): the whole corr
+        # stage becomes dense MXU work (full coarse call 1.28 s ->
+        # 0.31 s, tools/perf_probe2.py). The track axis is chunked so
+        # the transient (B, S, Nc, HW) cmap stays under ~1 GB bf16.
+        if N >= 64:
+            max_chunk = max(64, (1 << 30) // (B * S * H * W))
+            chunks = []
+            for n0 in range(0, N, max_chunk):
+                tf_c = track_feats[:, :, n0: n0 + max_chunk]
+                ct_c = centers[:, :, n0: n0 + max_chunk]
+                cmap = jnp.einsum("bshwc,bsnc->bsnhw", fmap, tf_c)
+                chunks.append(_bilinear_window_matmul(
+                    cmap, ct_c, r, track_feats.dtype))
+            corr = (chunks[0] if len(chunks) == 1
+                    else jnp.concatenate(chunks, axis=2))
+            out.append(corr / jnp.sqrt(C).astype(corr.dtype))
+            continue
         # the DMA-based kernel keeps C as the lane axis (needs 128-aligned
         # feature lanes for HBM tiling)
         if use_pallas and C % 128 == 0:
@@ -86,43 +147,29 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
         if N == 1 and H * W <= 4096 and C < 128:
             # fine-former patch maps (one track per patch "video", C=32):
             # compute the FULL correlation map per iteration as a
-            # C-in-sublanes broadcast-multiply-reduce, then window-gather
-            # scalars. The transposed pyramid layout is iteration-
-            # invariant, so XLA CSE hoists it out of the 6-iter unroll;
-            # per iteration only the (T, C, HW) elementwise pass and a
-            # 64-scalar-per-track gather remain. This beats both XLA
-            # alternatives (the N=1-degenerate dot-then-slice einsum and
-            # scalar-granularity tap gathers) and replaces the per-track
-            # DMA kernel (ops/corr_pallas.py smallc) whose 12 KB fetches
-            # are issue-rate-bound at 16k tracks x 18 level-iters.
+            # C-in-sublanes broadcast-multiply-reduce (the transposed
+            # pyramid layout is iteration-invariant, so XLA CSE hoists it
+            # out of the 6-iter unroll), then pull the bilinear (2r+1)^2
+            # window with two tiny batched matmuls against one-hot
+            # selection matrices that FOLD THE BILINEAR WEIGHTS IN:
+            #   corr[a, b] = sum_{i,j} Uy[a, i] * cm[i, j] * Vx[b, j],
+            #   Uy[a, i] = (1-fy)*[i == y0+a] + fy*[i == y0+a+1].
+            # An out-of-range tap matches no one-hot column, so border
+            # zeroing falls out for free. This replaces a 64-scalar-per-
+            # track take_along_axis (measured ~17 ms per level-iter at
+            # 16k track-frames — scalar-granularity TPU gathers dominate
+            # the whole fine former; tools/perf_probe2.py) with dense
+            # MXU/VPU work, and supersedes the per-track DMA kernel
+            # (ops/corr_pallas.py smallc) whose 12 KB fetches are
+            # issue-rate-bound.
             T = B * S
             fm_t = jnp.swapaxes(fmap.reshape(T, H * W, C), -1, -2)
             tf = track_feats.reshape(T, 1, C).swapaxes(-1, -2)  # (T, C, 1)
             cm = jnp.sum((fm_t * tf).astype(jnp.float32), axis=1)
             cmap = cm.reshape(B, S, 1, H, W)
-            base = jnp.floor(centers)
-            frac = (centers - base).astype(track_feats.dtype)
-            offs = jnp.arange(-r, r + 2, dtype=jnp.int32)
-            oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
-            ix = base[..., 0].astype(jnp.int32)[..., None, None] + ox
-            iy = base[..., 1].astype(jnp.int32)[..., None, None] + oy
-            ok = ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H))
-            idx = (jnp.clip(iy, 0, H - 1) * W
-                   + jnp.clip(ix, 0, W - 1))
-            ci = jnp.take_along_axis(
-                cmap.reshape(B, S, N, H * W),
-                idx.reshape(B, S, N, window * window), axis=-1)
-            ci = (ci * ok.reshape(B, S, N, -1)).reshape(
-                B, S, N, window, window)
-            ci = ci.astype(track_feats.dtype)
-            fx = frac[..., 0, None, None]
-            fy = frac[..., 1, None, None]
-            corr = ((1 - fy) * (1 - fx) * ci[..., :W1, :W1]
-                    + (1 - fy) * fx * ci[..., :W1, 1:]
-                    + fy * (1 - fx) * ci[..., 1:, :W1]
-                    + fy * fx * ci[..., 1:, 1:])
-            out.append(corr.reshape(B, S, N, W1 * W1)
-                       / jnp.sqrt(C).astype(corr.dtype))
+            corr = _bilinear_window_matmul(cmap, centers, r,
+                                           track_feats.dtype)
+            out.append(corr / jnp.sqrt(C).astype(corr.dtype))
             continue
         # small-C variant (C < 128 with many tracks per map): row-
         # flattened DMA windows (ops/corr_pallas.py smallc)
@@ -135,47 +182,6 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
                 track_feats.reshape(B * S, N, C).astype(fmap.dtype),
                 radius=radius)
             out.append(corr.reshape(B, S, N, -1).astype(track_feats.dtype))
-            continue
-
-        if H * W <= 1156:
-            # small-map MANY-track path (coarse top levels): dot-then-
-            # slice. Correlate the track features against EVERY cell — a
-            # real (HW, C) @ (C, N) GEMM that reads the fmap once for all
-            # N tracks — then GATHER each track's (2r+2)^2 scalar window
-            # with one take_along_axis. The N >= 64 gate matters: with
-            # few tracks per map (the fine former runs N=1 per patch
-            # "video") the einsum degenerates to matvecs that re-read the
-            # whole pyramid every iteration (measured 2 GB/level/iter,
-            # ~230 ms of a 310 ms call) — the sample-then-dot path below
-            # touches only the (2r+2)^2 taps instead. Do NOT use a vmap'd
-            # dynamic_slice for the window slicing either: XLA lowers it
-            # to a sequential while loop over all B*S*N tracks (~1.5 us
-            # per iteration, measured 540 ms per fine-former call at 16k
-            # track-frames); the batched gather runs in ~1 ms.
-            base = jnp.floor(centers)
-            frac = (centers - base).astype(track_feats.dtype)
-            cmap = jnp.einsum("bshwc,bsnc->bsnhw", fmap, track_feats)
-            offs = jnp.arange(-r, r + 2, dtype=jnp.int32)
-            oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
-            ix = base[..., 0].astype(jnp.int32)[..., None, None] + ox
-            iy = base[..., 1].astype(jnp.int32)[..., None, None] + oy
-            ok = ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H))
-            idx = (jnp.clip(iy, 0, H - 1) * W
-                   + jnp.clip(ix, 0, W - 1))  # (B,S,N,w,w)
-            ci = jnp.take_along_axis(
-                cmap.reshape(B, S, N, H * W),
-                idx.reshape(B, S, N, window * window), axis=-1)
-            ci = (ci * ok.reshape(B, S, N, -1)).reshape(
-                B, S, N, window, window)
-            ci = ci.astype(track_feats.dtype)
-            fx = frac[..., 0, None, None]
-            fy = frac[..., 1, None, None]
-            corr = ((1 - fy) * (1 - fx) * ci[..., :W1, :W1]
-                    + (1 - fy) * fx * ci[..., :W1, 1:]
-                    + fy * (1 - fx) * ci[..., 1:, :W1]
-                    + fy * fx * ci[..., 1:, 1:])
-            out.append(corr.reshape(B, S, N, W1 * W1)
-                       / jnp.sqrt(C).astype(corr.dtype))
             continue
 
         # XLA path, same math as the kernel: gather the (2r+2)^2 *integer*
