@@ -61,6 +61,14 @@ class BAConfig:
     lambda_max: float = 1e6
     point_chunk: int = 8192
     diag_eps: float = 1e-8
+    # stop when an accepted step's relative cost decrease falls below
+    # this (Ceres function_tolerance, default 1e-6), or when a rejected
+    # step has already driven lambda to lambda_max (no progress
+    # possible). The LM loop is a while_loop: converged solves stop
+    # paying for the remaining iteration budget (measured 34 ms per
+    # 24k-track iteration on v5e — a 25-cap solve that converges in 8
+    # iterations was spending 3x its useful time).
+    function_tolerance: float = 1e-6
 
 
 # ---------------------------------------------------------------------------
@@ -432,8 +440,8 @@ def _bundle_adjust(
     params0 = {"R": R0, "t": t0, "f": f0, "pp": pp0, "k": k0, "X": X0}
     cost0 = total_cost(params0)
 
-    def lm_step(carry, _):
-        params, lam, cost = carry
+    def lm_step(carry):
+        params, lam, cost, hist, it, _ = carry
         _, U, b_c, S_cross, b_corr, Vinv, b_p = assemble(params, lam)
         dc = solve_cameras(U, b_c, S_cross, b_corr, lam)
         dX = back_substitute(params, dc, Vinv, b_p)
@@ -446,11 +454,24 @@ def _bundle_adjust(
         lam = jnp.clip(jnp.where(accept, lam * cfg.lambda_down,
                                  lam * cfg.lambda_up),
                        cfg.lambda_min, cfg.lambda_max)
-        return (params, lam, cost), cost
+        rel_dec = (carry[2] - new_cost) / jnp.maximum(carry[2], _EPS)
+        converged = ((accept & (rel_dec < cfg.function_tolerance))
+                     | (~accept & (lam >= cfg.lambda_max)))
+        return (params, lam, cost, hist.at[it].set(cost), it + 1,
+                converged)
 
-    (params, _, final_cost), cost_hist = jax.lax.scan(
-        lm_step, (params0, jnp.asarray(cfg.lambda_init, dtype), cost0),
-        None, length=cfg.max_iterations)
+    def lm_cond(carry):
+        it, converged = carry[4], carry[5]
+        return (it < cfg.max_iterations) & ~converged
+
+    hist0 = jnp.full((cfg.max_iterations,), cost0, dtype)
+    params, _, final_cost, cost_hist, n_iters, _ = jax.lax.while_loop(
+        lm_cond, lm_step,
+        (params0, jnp.asarray(cfg.lambda_init, dtype), cost0, hist0,
+         jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
+    # untouched tail entries report the final cost (monotone history)
+    cost_hist = jnp.where(jnp.arange(cfg.max_iterations) < n_iters,
+                          cost_hist, final_cost)
 
     extri = jnp.concatenate([params["R"], params["t"][..., None]], axis=-1)
     f = params["f"]

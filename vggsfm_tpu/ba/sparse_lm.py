@@ -195,8 +195,8 @@ def _bundle_adjust_sparse(
         s = jax.ops.segment_sum(x, obs_point, num_segments=P)
         return jax.lax.psum(s, axis_name) if axis_name else s
 
-    def lm_step(carry, _):
-        params, lam, cost = carry
+    def lm_step(carry):
+        params, lam, cost, hist, it, _ = carry
         r, Jc, Jp = per_obs_linearize(params)
         # normal-equation blocks
         U = seg_f(jnp.einsum("oic,oid->ocd", Jc, Jc))  # (S,C,C)
@@ -270,11 +270,15 @@ def _bundle_adjust_sparse(
         accept = new_cost < cost
         params = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand,
                               params)
+        rel_dec = (cost - new_cost) / jnp.maximum(cost, 1e-12)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.clip(jnp.where(accept, lam * cfg.lambda_down,
                                  lam * cfg.lambda_up),
                        cfg.lambda_min, cfg.lambda_max)
-        return (params, lam, cost), cost
+        converged = ((accept & (rel_dec < cfg.function_tolerance))
+                     | (~accept & (lam >= cfg.lambda_max)))
+        return (params, lam, cost, hist.at[it].set(cost), it + 1,
+                converged)
 
     def total_cost(params):
         def one(s, j, xy, w):
@@ -294,9 +298,18 @@ def _bundle_adjust_sparse(
 
     params0 = {"R": R0, "t": t0, "f": f0, "pp": pp0, "k": k0, "X": X0}
     cost0 = total_cost(params0)
-    (params, _, final_cost), cost_hist = jax.lax.scan(
-        lm_step, (params0, jnp.asarray(cfg.lambda_init, dtype), cost0),
-        None, length=cfg.max_iterations)
+
+    def lm_cond(carry):
+        it, converged = carry[4], carry[5]
+        return (it < cfg.max_iterations) & ~converged
+
+    hist0 = jnp.full((cfg.max_iterations,), cost0, dtype)
+    params, _, final_cost, cost_hist, n_iters, _ = jax.lax.while_loop(
+        lm_cond, lm_step,
+        (params0, jnp.asarray(cfg.lambda_init, dtype), cost0, hist0,
+         jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
+    cost_hist = jnp.where(jnp.arange(cfg.max_iterations) < n_iters,
+                          cost_hist, final_cost)
 
     extri = jnp.concatenate([params["R"], params["t"][..., None]], axis=-1)
     intr = jnp.zeros((S, 3, 3), dtype)

@@ -292,6 +292,22 @@ class VGGSfMRunner:
             p, im, iters=4))
         return fn(self.params["camera"], images)
 
+    def _query_points(self, image, key, method, max_pts, seg_mask=None):
+        """get_query_points as ONE jitted program per (method, budget).
+
+        The eager extractor tail (concat + permutation + valid-first
+        sort) paid ~10 dispatch round-trips per query frame on the
+        tunneled backend; jitting also routes it through the MFU ledger."""
+        name = f"query_points_{method}_{max_pts}_{seg_mask is not None}"
+
+        def fn(im, k, sm=None):
+            return get_query_points(im, k, method, max_pts,
+                                    seg_invalid_mask=sm)
+
+        if seg_mask is not None:
+            return self._jitted(name, fn)(image, key, seg_mask)
+        return self._jitted(name, fn)(image, key)
+
     def _load_depth_model(self):
         """Lazily build DepthAnything + params (converted checkpoint when
         available; random ViT-B otherwise). Parity: runner.py:133-162."""
@@ -457,9 +473,9 @@ class VGGSfMRunner:
             seg_mask = None
             if masks is not None:
                 seg_mask = jnp.asarray(masks[qframe] > 0.5)
-            qp, qp_valid = get_query_points(
-                images[0, qframe], sub, query_method,
-                max_query_pts, seg_invalid_mask=seg_mask)
+            qp, qp_valid = self._query_points(
+                images[0, qframe], sub, query_method, max_query_pts,
+                seg_mask=seg_mask)
             if self.cfg.visual_query_points:
                 self._query_point_log.append(
                     (int(qframe), np.asarray(qp), np.asarray(qp_valid)))
@@ -593,13 +609,16 @@ class VGGSfMRunner:
                 track, vis, score = self._comple_nonvis(
                     images, fmaps, track, vis, score, masks)
 
-        # 5. preliminary two-view geometry
+        # 5. preliminary two-view geometry (through the MFU ledger so the
+        # sync-timing bench attributes its device time to this stage
+        # instead of the next recorded call)
         with _stage(timings, "preliminary", prof):
-            pre = estimate_preliminary_cameras(
-                track, vis, W, H, jax.random.PRNGKey(cfg.seed + 1),
-                tracks_score=score if cfg.fine_tracking else None,
-                max_error=cfg.fmat_thres,
-                max_ransac_iters=1024, lo_num=128)
+            pre = mfu.timed_call(
+                "preliminary", estimate_preliminary_cameras,
+                (track, vis, W, H, jax.random.PRNGKey(cfg.seed + 1)),
+                dict(tracks_score=score if cfg.fine_tracking else None,
+                     max_error=cfg.fmat_thres,
+                     max_ransac_iters=1024, lo_num=128))
 
         # 5b. choose the SfM camera initialization (neural vs two-view)
         extr_init, intr_init = self._choose_camera_init(
@@ -770,14 +789,18 @@ class VGGSfMRunner:
             return extr_tv, intr_tv
         if cfg.camera_init != "hybrid":
             raise ValueError(f"unknown camera_init {cfg.camera_init}")
-        score_fn = self._jitted("caminit_score", _score_camera_init)
-        fmask = pre["fmat_inlier_mask"][0]
-        s_neural = int(score_fn(extr_neural, intr_neural, track[0], vis[0],
-                                fmask))
-        s_tv = int(score_fn(extr_tv, intr_tv, track[0], vis[0], fmask))
-        if s_neural >= s_tv:
-            return extr_neural, intr_neural
-        return extr_tv, intr_tv
+        # score both candidates and select IN-GRAPH: no host round-trip,
+        # and the winner flows straight into run_sfm's dispatch queue
+        def _select(extr_n, intr_n, extr_t, intr_t, tr, vi, fm):
+            s_n = _score_camera_init(extr_n, intr_n, tr, vi, fm)
+            s_t = _score_camera_init(extr_t, intr_t, tr, vi, fm)
+            c = s_n >= s_t
+            return (jnp.where(c, extr_n, extr_t),
+                    jnp.where(c, intr_n, intr_t))
+
+        return self._jitted("caminit_select", _select)(
+            extr_neural, intr_neural, extr_tv, intr_tv, track[0], vis[0],
+            pre["fmat_inlier_mask"][0])
 
     def _comple_nonvis(self, images, fmaps, track, vis, score, masks):
         """Re-query frames with too few visible points, then escalate.

@@ -35,7 +35,9 @@ _LEDGER: dict = {}
 
 
 def _abstract(x):
-    return jax.ShapeDtypeStruct(x.shape, x.dtype)
+    if hasattr(x, "shape") and hasattr(x, "dtype"):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+    return x  # static (non-array) leaf — pass through for lower()
 
 
 def record(name: str, fn, args: tuple,
