@@ -59,7 +59,10 @@ class BAConfig:
     lambda_down: float = 0.5
     lambda_min: float = 1e-9
     lambda_max: float = 1e6
-    point_chunk: int = 8192
+    # per-LM-iteration point-chunking bound: each fori_loop chunk pays
+    # its own serialized kernel suite, so prefer ONE chunk whenever the
+    # (S, PC, 2, C) Jacobian transients fit (tens of MB at 32k points)
+    point_chunk: int = 32768
     diag_eps: float = 1e-8
     # stop when an accepted step's relative cost decrease falls below
     # this (Ceres function_tolerance, default 1e-6), or when a rejected

@@ -73,11 +73,16 @@ def load_superpoint_params():
 
 
 def _aliked_apply(params, image):
-    return ALIKED().apply(params, image)
+    # bf16 compute (params stay f32): matches the reference's fp16
+    # autocast and halves the CNN's bandwidth at detection resolution;
+    # scores are cast back to f32 so NMS/top_k compare exactly
+    return ALIKED(dtype=jnp.bfloat16).apply(params, image).astype(
+        jnp.float32)
 
 
 def _superpoint_apply(params, image):
-    return SuperPoint().apply(params, image)
+    # outputs (heat, desc) are already cast to f32 inside the module
+    return SuperPoint(dtype=jnp.bfloat16).apply(params, image)
 
 
 def detect_aliked_keypoints(image: jax.Array, max_keypoints: int = 4096,

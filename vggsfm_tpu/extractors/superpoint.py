@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -20,31 +22,37 @@ import jax.numpy as jnp
 
 class SuperPoint(nn.Module):
     descriptor_dim: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, image):
         """(B, H, W, 1) grayscale in [0,1] -> (scores (B,H,W),
         descriptors (B, H/8, W/8, D))."""
-        x = image
+        x = image.astype(self.dtype)
         c = [64, 64, 64, 64, 128, 128, 128, 128]
         names = ["conv1a", "conv1b", "conv2a", "conv2b",
                  "conv3a", "conv3b", "conv4a", "conv4b"]
         for i, (ch, name) in enumerate(zip(c, names)):
-            x = nn.relu(nn.Conv(ch, (3, 3), padding=1, name=name)(x))
+            x = nn.relu(nn.Conv(ch, (3, 3), padding=1, name=name,
+                                dtype=self.dtype)(x))
             if name in ("conv1b", "conv2b", "conv3b"):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
         # detector head
-        d = nn.relu(nn.Conv(256, (3, 3), padding=1, name="convPa")(x))
-        d = nn.Conv(65, (1, 1), name="convPb")(d)  # (B, H/8, W/8, 65)
+        d = nn.relu(nn.Conv(256, (3, 3), padding=1, name="convPa",
+                            dtype=self.dtype)(x))
+        d = nn.Conv(65, (1, 1), name="convPb", dtype=self.dtype)(d)
+        d = d.astype(jnp.float32)  # softmax in f32
         prob = jax.nn.softmax(d, axis=-1)[..., :64]
         B, hc, wc, _ = prob.shape
         heat = prob.reshape(B, hc, wc, 8, 8)
         heat = heat.transpose(0, 1, 3, 2, 4).reshape(B, hc * 8, wc * 8)
 
         # descriptor head
-        desc = nn.relu(nn.Conv(256, (3, 3), padding=1, name="convDa")(x))
-        desc = nn.Conv(self.descriptor_dim, (1, 1), name="convDb")(desc)
+        desc = nn.relu(nn.Conv(256, (3, 3), padding=1, name="convDa",
+                               dtype=self.dtype)(x))
+        desc = nn.Conv(self.descriptor_dim, (1, 1), name="convDb",
+                       dtype=self.dtype)(desc).astype(jnp.float32)
         desc = desc / jnp.maximum(
             jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
         return heat, desc

@@ -61,17 +61,21 @@ class TorchMultiheadAttention(nn.Module):
             xk = proj(k, self.dim, 2 * self.dim)
             xv = proj(v, 2 * self.dim, 3 * self.dim)
 
+        # attention in (B, L, H, D) layout end-to-end: the head axis is a
+        # dot_general batch dim, so no materialized head-split/merge
+        # transposes (they showed up as ~64 ms of pure copies per coarse
+        # call in the profiler trace)
         def split_heads(x):
             B, L, _ = x.shape
-            return x.reshape(B, L, H, D).transpose(0, 2, 1, 3)
+            return x.reshape(B, L, H, D)
 
         xq, xk, xv = split_heads(xq), split_heads(xk), split_heads(xv)
         # softmax in f32 for numerical stability under low precision
-        attn = jnp.einsum("bhqd,bhkd->bhqk", xq, xk).astype(jnp.float32)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", xq, xk).astype(jnp.float32)
         attn = jax.nn.softmax(attn / jnp.sqrt(D), axis=-1).astype(xv.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, xv)
-        B, _, L, _ = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, self.dim)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, xv)
+        B, L = out.shape[0], out.shape[1]
+        out = out.reshape(B, L, self.dim)
         return nn.Dense(self.dim, name="out_proj", dtype=self.dtype)(out)
 
 

@@ -37,20 +37,77 @@ def extract_patches(images: jax.Array, centers: jax.Array, pradius: int):
     tl_x = jnp.clip(topleft_raw[..., 0], 0, W - psize)
     tl_y = jnp.clip(topleft_raw[..., 1], 0, H - psize)
 
-    # vmap'd dynamic_slice lowers to an XLA slice-gather (each window is
-    # copied as one contiguous block) — ~2.4x faster on TPU than the
-    # flattened element-gather take_along_axis formulation
-    imgs = images.reshape(B * S, H, W, C)
-    tl = jnp.stack([tl_y, tl_x], axis=-1).reshape(B * S, N, 2)
+    if H % 8 == 0 and (W * C) % 128 == 0:
+        patches = _extract_patches_tiled(images, tl_x, tl_y, psize)
+    else:
+        # fallback: vmap'd dynamic_slice (unrolls to one kernel per
+        # window on TPU — fine for small N / odd shapes)
+        imgs = images.reshape(B * S, H, W, C)
+        tl = jnp.stack([tl_y, tl_x], axis=-1).reshape(B * S, N, 2)
 
-    def one(img, yx):
-        return jax.lax.dynamic_slice(img, (yx[0], yx[1], 0),
-                                     (psize, psize, C))
+        def one(img, yx):
+            return jax.lax.dynamic_slice(img, (yx[0], yx[1], 0),
+                                         (psize, psize, C))
 
-    patches = jax.vmap(jax.vmap(one, in_axes=(None, 0)))(imgs, tl)
-    patches = patches.reshape(B, S, N, psize, psize, C)
+        patches = jax.vmap(jax.vmap(one, in_axes=(None, 0)))(imgs, tl)
+        patches = patches.reshape(B, S, N, psize, psize, C)
     topleft = jnp.stack([tl_x, tl_y], axis=-1)
     return patches, topleft
+
+
+def _extract_patches_tiled(images, tl_x, tl_y, psize: int):
+    """Window extraction as tile gather + one-hot selection matmuls.
+
+    The direct formulations are both slow on TPU: vmap'd dynamic_slice
+    unrolls into one kernel launch per window (16384 launches ~ 130 ms
+    per fine call), and gathers with unaligned multi-element slices
+    lower to scalar granularity. Instead: view the frame as (8, 128)
+    tiles, fetch each window's covering tile block with ONE batched
+    row-gather (slice = a full 1024-element tile, the shape TPU gathers
+    handle efficiently), then cut the exact (psize, psize*C) window out
+    of the covering block with two one-hot matmuls. The one-hot matmul
+    is EXACT (each output element sums exactly one input), so this is
+    bit-identical to slicing.
+    """
+    B, S, H, W, C = images.shape
+    N = tl_x.shape[2]
+    TS, TL = 8, 128
+    WC = W * C
+    ntx = WC // TL
+    rowlen = psize * C
+    nrt = (psize + TS - 1) // TS + 1  # covering tile rows
+    nct = (rowlen + TL - 1) // TL + 1  # covering tile cols
+    dt = images.dtype
+
+    tiles = images.reshape(B * S, H // TS, TS, ntx, TL)
+    tiles = tiles.transpose(0, 1, 3, 2, 4).reshape(
+        B * S, (H // TS) * ntx, TS * TL)
+
+    e0 = tl_x * C  # (B, S, N) start element within the merged row
+    ty0 = tl_y // TS
+    tx0 = e0 // TL
+    row_t = jnp.minimum(ty0[..., None] + jnp.arange(nrt), H // TS - 1)
+    col_t = jnp.minimum(tx0[..., None] + jnp.arange(nct), ntx - 1)
+    # (clipped duplicate tiles are never selected by the one-hots: the
+    # window spans at most nrt/nct tiles from its aligned origin)
+    idx = (row_t[..., :, None] * ntx
+           + col_t[..., None, :]).reshape(B * S, N * nrt * nct)
+    g = jnp.take_along_axis(tiles, idx[..., None], axis=1)
+    g = g.reshape(B * S, N, nrt, nct, TS, TL).transpose(0, 1, 2, 4, 3, 5)
+    g = g.reshape(B * S, N, nrt * TS, nct * TL)
+
+    dy = (tl_y - ty0 * TS).reshape(B * S, N)  # in [0, TS)
+    dx = (e0 - tx0 * TL).reshape(B * S, N)  # in [0, TL)
+    rsel = (jnp.arange(nrt * TS)
+            == (dy[..., None, None]
+                + jnp.arange(psize)[:, None])).astype(dt)
+    csel = (jnp.arange(nct * TL)
+            == (dx[..., None, None]
+                + jnp.arange(rowlen)[:, None])).astype(dt)
+    # rsel: (BS, N, psize, nrt*TS); csel: (BS, N, rowlen, nct*TL)
+    tmp = jnp.einsum("tnpr,tnrl->tnpl", rsel, g)
+    win = jnp.einsum("tnpl,tnql->tnpq", tmp, csel)
+    return win.reshape(B, S, N, psize, psize, C)
 
 
 def ncc_subpixel_refine(images: jax.Array, coords: jax.Array,
