@@ -459,6 +459,94 @@ def case_multihost(exchange_dir: str) -> None:
     assert rc == 0, f"host-1 worker exited {rc}"
 
 
+def case_stepback(tmp_dir: str) -> None:
+    """Tracking from one specific query frame fails completely (zero
+    visibility) — the retry schedule must step the query frame back and
+    still register every frame with accurate poses (parity:
+    video_runner.py:712-751 retries). Subprocess-isolated: the many
+    per-window compiles are an XLA:CPU process-abort trigger under
+    xdist (same flake class as the other cases here)."""
+    _setup_cpu()
+    import jax.numpy as jnp
+
+    from vggsfm_tpu.geometry.metrics import pose_auc30
+    from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
+    from vggsfm_tpu.video import VideoConfig, VideoRunner
+
+    rng = np.random.default_rng(3)
+    T, R_img, N = 14, 128, 300
+    f = float(R_img)
+    K = np.array([[f, 0, R_img / 2], [0, f, R_img / 2], [0, 0, 1.0]])
+    X = rng.uniform([-2, -2, 6], [2, 2, 10], size=(N, 3))
+    extr_gt = np.zeros((T, 3, 4))
+    for t in range(T):
+        a = 0.04 * t
+        Rm = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                       [-np.sin(a), 0, np.cos(a)]])
+        tr = np.array([0.15 * t, 0.01 * t, 0.02 * t])
+        extr_gt[t] = np.concatenate([Rm, tr[:, None]], axis=1)
+
+    def project(t, pts):
+        Xc = (extr_gt[t, :, :3] @ pts.T).T + extr_gt[t, :, 3]
+        uv = (K @ Xc.T).T
+        return uv[:, :2] / uv[:, 2:]
+
+    video = rng.uniform(size=(T, R_img, R_img, 3)).astype(np.float32)
+
+    scfg = RunnerConfig(img_size=R_img, query_frame_num=1,
+                        max_query_pts=64, query_method="harris",
+                        fine_tracking=False, comple_nonvis=False,
+                        robust_refine=0, ba_iters=1)
+    vcfg = VideoConfig(init_window_size=4, window_size=3,
+                       joint_ba_interval=2, max_query_pts=128,
+                       query_method="harris", min_inlier_per_frame=10,
+                       max_step_back=2,
+                       align_with_camera_predictor=False)
+    runner = VideoRunner(VGGSfMRunner(scfg), vcfg)
+
+    def oracle_init(images_init, **kw):
+        S0 = images_init.shape[0]
+        track = np.stack([project(t, X) for t in range(S0)])
+        return {
+            "extrinsics": extr_gt[:S0].astype(np.float32),
+            "intrinsics": np.tile(K, (S0, 1, 1)).astype(np.float32),
+            "points3d": X.astype(np.float32),
+            "valid_tracks": np.ones(N, bool),
+            "valid_2d_mask": np.ones((S0, N), bool),
+            "pred_track": track[None].astype(np.float32),
+        }
+
+    runner.r.sparse_reconstruct = oracle_init
+
+    BAD_QUERY = 6  # tracking FROM this frame yields nothing
+
+    def spy_track(self, images_w, query_xy, frames_w=None):
+        Sw = images_w.shape[0]
+        Nq = len(query_xy)
+        q = frames_w[0]
+        tr = np.zeros((Sw, Nq, 2), np.float32)
+        vis = np.zeros((Sw, Nq), np.float32)
+        if q == BAD_QUERY:
+            return tr, vis
+        proj_q = project(q, X)
+        qxy = np.asarray(query_xy)
+        d = np.linalg.norm(qxy[:, None] - proj_q[None], axis=-1)
+        nearest = d.argmin(1)
+        matched = d.min(1) < 2.0
+        for i, t in enumerate(frames_w):
+            tr[i] = project(t, X)[nearest]
+            vis[i] = matched.astype(np.float32)
+        return tr, vis
+
+    runner._track_window = types.MethodType(spy_track, runner)
+    preds = runner.run(video)
+    assert preds["registered"].all()
+    auc = pose_auc30(jnp.asarray(preds["extrinsics"]),
+                     jnp.asarray(extr_gt, np.float32))
+    assert float(auc) > 0.85
+    print("STEPBACK_OK")
+
+
 if __name__ == "__main__":
     import tempfile
 
@@ -468,4 +556,5 @@ if __name__ == "__main__":
         case_multihost_worker(int(sys.argv[3]), int(sys.argv[4]), out)
     else:
         {"oracle": case_oracle, "radial": case_radial,
-         "drift": case_drift, "multihost": case_multihost}[case](out)
+         "drift": case_drift, "multihost": case_multihost,
+         "stepback": case_stepback}[case](out)

@@ -38,7 +38,17 @@ def extract_patches(images: jax.Array, centers: jax.Array, pradius: int):
     tl_y = jnp.clip(topleft_raw[..., 1], 0, H - psize)
 
     if H % 8 == 0 and (W * C) % 128 == 0:
-        patches = _extract_patches_tiled(images, tl_x, tl_y, psize)
+        # chunk the track axis: the selection-matmul transients scale
+        # with N * psize * C * 256, and the remote TPU compiler falls
+        # over past ~2048 windows per pass
+        NC = 2048
+        if N <= NC:
+            patches = _extract_patches_tiled(images, tl_x, tl_y, psize)
+        else:
+            patches = jnp.concatenate(
+                [_extract_patches_tiled(
+                    images, tl_x[:, :, i: i + NC], tl_y[:, :, i: i + NC],
+                    psize) for i in range(0, N, NC)], axis=2)
     else:
         # fallback: vmap'd dynamic_slice (unrolls to one kernel per
         # window on TPU — fine for small N / odd shapes)
@@ -238,13 +248,18 @@ def refine_track(images, fine_fnet_apply, fine_tracker_apply, coarse_pred,
                        else images.astype(patch_dtype))
     patches, topleft = extract_patches(img_for_patches, coarse_pred,
                                        pradius)
+    # reorder (B, S, N) -> (B, N, S) track-video layout at the PIXEL
+    # level: transposing the 3-channel patches moves ~10x fewer bytes
+    # than transposing the 32-channel feature tensor after the fnet
+    # (the feature transpose was ~1 GB of pure copy per fine call)
+    patches = patches.transpose(0, 2, 1, 3, 4, 5)
     patch_feat = fine_fnet_apply(
-        patches.reshape(B * S * N, psize, psize, 3))
+        patches.reshape(B * N * S, psize, psize, 3))
     C_out = patch_feat.shape[-1]
-    # (B*N, S, psize, psize, C): each track becomes its own "video"
-    patch_feat = patch_feat.reshape(B, S, N, psize, psize, C_out)
-    patch_fmaps = patch_feat.transpose(0, 2, 1, 3, 4, 5).reshape(
-        B * N, S, psize, psize, C_out)
+    # (B*N, S, psize, psize, C): each track is its own "video" — a free
+    # reshape in the (B, N, S) order
+    patch_feat = patch_feat.reshape(B, N, S, psize, psize, C_out)
+    patch_fmaps = patch_feat.reshape(B * N, S, psize, psize, C_out)
 
     # query point inside its patch = fractional offset + pradius
     track_frac = coarse_pred - jnp.floor(coarse_pred)
@@ -284,30 +299,33 @@ def compute_score_fn(query_feat, patch_feat, fine_patch_track, sradius,
     """
     ssize = 2 * sradius + 1
 
-    # small ssize x ssize windows of patch features at the refined position
-    centers = fine_patch_track.reshape(B, N, S, 2).transpose(0, 2, 1, 3)
-    flat_patch = patch_feat.reshape(B, S, N, psize * psize, C_out)
+    # small ssize x ssize windows of patch features at the refined
+    # position — patch_feat arrives in (B, N, S, ...) track-video order
+    centers = fine_patch_track.reshape(B, N, S, 2)
+    flat_patch = patch_feat.reshape(B, N, S, psize * psize, C_out)
     tl = jnp.clip(jnp.floor(centers).astype(jnp.int32) - sradius, 0,
                   psize - ssize)
     dy, dx = jnp.meshgrid(jnp.arange(ssize), jnp.arange(ssize),
                           indexing="ij")
     ys = tl[..., 1, None, None] + dy
     xs = tl[..., 0, None, None] + dx
-    idx = (ys * psize + xs).reshape(B, S, N, ssize * ssize)
+    idx = (ys * psize + xs).reshape(B, N, S, ssize * ssize)
     windows = jnp.take_along_axis(flat_patch, idx[..., None], axis=3)
-    # (B, S, N, ssize*ssize, C)
+    # (B, N, S, ssize*ssize, C)
 
     qf = query_feat.reshape(B, N, C_out)
-    sim = jnp.einsum("bnc,bsnrc->bsnr", qf, windows[:, 1:])
+    sim = jnp.einsum("bnc,bnsrc->bnsr", qf, windows[:, :, 1:])
     heat = jax.nn.softmax(sim / jnp.sqrt(C_out), axis=-1)
 
     # normalized [-1, 1] grid, soft-argmax spread
     lin = jnp.linspace(-1.0, 1.0, ssize)
     gx, gy = jnp.meshgrid(lin, lin, indexing="xy")
     grid = jnp.stack([gx, gy], axis=-1).reshape(ssize * ssize, 2)
-    mean = jnp.einsum("bsnr,rd->bsnd", heat, grid)
-    second = jnp.einsum("bsnr,rd->bsnd", heat, grid**2)
+    mean = jnp.einsum("bnsr,rd->bnsd", heat, grid)
+    second = jnp.einsum("bnsr,rd->bnsd", heat, grid**2)
     var = second - mean**2
-    std = jnp.sum(jnp.sqrt(jnp.clip(var, 1e-10)), axis=-1)  # (B, S-1, N)
+    # (B, N, S-1) -> (B, S-1, N): tiny f32, transpose at the end
+    std = jnp.sum(jnp.sqrt(jnp.clip(var, 1e-10)), axis=-1)
+    std = std.transpose(0, 2, 1)
 
     return jnp.concatenate([jnp.ones_like(std[:, :1]), std], axis=1)
