@@ -38,10 +38,28 @@ from vggsfm_tpu.models.sampling import (
 )
 
 
-def build_corr_pyramid(fmaps: jax.Array, num_levels: int) -> list:
-    """(B, S, H, W, C) -> list of `num_levels` maps, 2x avg-pooled each."""
-    pyramid = [fmaps]
+def build_corr_pyramid(fmaps: jax.Array, num_levels: int,
+                       cfirst: bool = False) -> list:
+    """(B, S, H, W, C) -> list of `num_levels` maps, 2x avg-pooled each.
+
+    With `cfirst` the levels are laid out (B, S, C, H, W): ONE transpose
+    at level 0, then channel-first pooling — the per-level NHWC->C-first
+    relayouts inside the fine corr loop cost ~20 ms per 16k-patch call
+    otherwise (profiler trace, tools/perf_probe2.py).
+    """
     B, S, H, W, C = fmaps.shape
+    if cfirst:
+        x = fmaps.reshape(B * S, H, W, C).transpose(0, 3, 1, 2)
+        pyramid = [x.reshape(B, S, C, H, W)]
+        for _ in range(num_levels - 1):
+            x = jax.lax.reduce_window(
+                x, jnp.zeros((), x.dtype), jax.lax.add,
+                (1, 1, 2, 2), (1, 1, 2, 2), "VALID") / jnp.asarray(
+                    4.0, x.dtype)
+            h, w = x.shape[2:]
+            pyramid.append(x.reshape(B, S, C, h, w))
+        return pyramid
+    pyramid = [fmaps]
     x = fmaps.reshape(B * S, H, W, C)
     for _ in range(num_levels - 1):
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
@@ -91,7 +109,8 @@ def _bilinear_window_matmul(cmap: jax.Array, centers: jax.Array, r: int,
 
 
 def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
-                radius: int, use_pallas: bool = False) -> jax.Array:
+                radius: int, use_pallas: bool = False,
+                cfirst: bool = False) -> jax.Array:
     """Fused neighborhood-sample + dot correlation.
 
     Args:
@@ -109,6 +128,22 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
 
     out = []
     for i, fmap in enumerate(pyramid):
+        if cfirst:
+            # (B, S, C, H, W) levels from build_corr_pyramid(cfirst=True)
+            # — the fine one-track-per-patch case only (N == 1): the
+            # C-in-sublanes full-map reduce needs no per-level relayout.
+            assert N == 1, "cfirst pyramid supports the fine N==1 case"
+            _, _, _, H, W = fmap.shape
+            centers = coords / (2.0 ** i)
+            T = B * S
+            fm_t = fmap.reshape(T, C, H * W)
+            tf = track_feats.reshape(T, 1, C).swapaxes(-1, -2)
+            cm = jnp.sum((fm_t * tf).astype(jnp.float32), axis=1)
+            cmap = cm.reshape(B, S, 1, H, W)
+            corr = _bilinear_window_matmul(cmap, centers, r,
+                                           track_feats.dtype)
+            out.append(corr / jnp.sqrt(C).astype(corr.dtype))
+            continue
         _, _, H, W, _ = fmap.shape
         centers = coords / (2.0 ** i)
         # many tracks per map: the FULL correlation as one MXU GEMM per
@@ -432,7 +467,10 @@ class BaseTrackerPredictor(nn.Module):
             coords, _, match_cyc = global_match_coords(
                 fmaps, query_feats, qp, cycle=matching_vis)
 
-        pyramid = build_corr_pyramid(fmaps, self.corr_levels)
+        corr_cfirst = (self.fine and N == 1 and HH * WW <= 4096
+                       and C < 128)
+        pyramid = build_corr_pyramid(fmaps, self.corr_levels,
+                                     cfirst=corr_cfirst)
 
         tdim = self.transformer_dim
         flows_emb_dim = self.latent_dim // 2
@@ -464,7 +502,8 @@ class BaseTrackerPredictor(nn.Module):
             coords = jax.lax.stop_gradient(coords)
             fcorrs = corr_sample(pyramid, coords, track_feats,
                                  self.corr_radius,
-                                 use_pallas=self.use_pallas_corr)
+                                 use_pallas=self.use_pallas_corr,
+                                 cfirst=corr_cfirst)
 
             flows = coords - coords[:, 0:1]  # (B,S,N,2)
             flows_bn = flows.transpose(0, 2, 1, 3)  # (B,N,S,2)

@@ -467,8 +467,9 @@ class VGGSfMRunner:
         B, S = images.shape[:2]
         key = jax.random.PRNGKey(cfg.seed)
 
-        all_track, all_vis, all_score = [], [], []
-        for qi, qframe in enumerate(query_indices):
+        # per-query keypoints (all the same static shape)
+        qps, qp_valids, orders = [], [], []
+        for qframe in query_indices:
             key, sub = jax.random.split(key)
             seg_mask = None
             if masks is not None:
@@ -479,17 +480,32 @@ class VGGSfMRunner:
             if self.cfg.visual_query_points:
                 self._query_point_log.append(
                     (int(qframe), np.asarray(qp), np.asarray(qp_valid)))
-
             order = np.arange(S)
             order[0], order[qframe] = qframe, 0
-            inv_order = np.argsort(order)
+            qps.append(qp)
+            qp_valids.append(qp_valid)
+            orders.append(order)
+        orders = np.stack(orders)  # (Q, S)
+        Q = orders.shape[0]
 
+        # chunk points so each tracker call stays under its budget.
+        # (Q-batching the coarse call was tried and measured 10x SLOWER
+        # at the matched workload — 13.5 s per batched call vs 8 x 0.31 s:
+        # the (Q, S, H, W, C) fmap gather + Q-wide pyramid/cmap working
+        # set spills HBM. Per-query calls keep the footprint bounded.)
+        chunk = max(256, cfg.max_points_num // S)
+        # 2048-track cap: the remote TPU compiler crashes on the
+        # 4096-window fine program (tools/perf_probe_fine.py); the
+        # chunk count changes, results don't
+        fine_chunk = max(128, min(2048, cfg.max_fine_points_num // S))
+
+        inv_orders = np.argsort(orders, axis=1)
+        all_track, all_vis, all_score = [], [], []
+        for qi in range(Q):
+            order = orders[qi]
             imgs_q = images[:, order]
             fmaps_q = fmaps[:, order]
-
-            # chunk points so each tracker call stays under its budget
-            chunk = max(256, cfg.max_points_num // S)
-            fine_chunk = max(128, cfg.max_fine_points_num // S)
+            qp = qps[qi]
             tracks, viss, scores = [], [], []
             for start in range(0, qp.shape[0], chunk):
                 qp_c = qp[None, start: start + chunk]
@@ -508,11 +524,11 @@ class VGGSfMRunner:
                 tracks.append(fine)
                 viss.append(vis)
                 scores.append(score)
-            track = jnp.concatenate(tracks, axis=2)[:, inv_order]
-            vis = jnp.concatenate(viss, axis=2)[:, inv_order]
-            score = jnp.concatenate(scores, axis=2)[:, inv_order]
+            track = jnp.concatenate(tracks, axis=2)[:, inv_orders[qi]]
+            vis = jnp.concatenate(viss, axis=2)[:, inv_orders[qi]]
+            score = jnp.concatenate(scores, axis=2)[:, inv_orders[qi]]
             # drop points whose extraction was invalid
-            vis = vis * qp_valid[None, None, :]
+            vis = vis * qp_valids[qi][None, None, :]
             all_track.append(track)
             all_vis.append(vis)
             all_score.append(score)
