@@ -120,11 +120,26 @@ def _run_config(scene, reps, measure_mfu=False, **overrides):
         # honest per-call device-inclusive seconds (transfer-synced — see
         # utils/mfu.py) + XLA cost-analysis FLOPs. Reported separately so
         # the headline timing keeps its pipeline overlap.
+        #
+        # The rep runs with jit_sfm OFF: the fused run_sfm program hides
+        # BA inside one XLA computation (trace-time ledger calls are
+        # skipped), so only the eager-composed solve can attribute
+        # device seconds to ba_dense/ba_sparse (VERDICT r04 #6 — the
+        # headline timing above keeps the fused default).
+        import dataclasses
+
+        runner_eager_sfm = VGGSfMRunner(
+            dataclasses.replace(cfg, jit_sfm=False))
+        # share the compiled stage programs + params — only the eager
+        # SfM sub-kernels (triangulation/BA) are new compilations
+        runner_eager_sfm._jit_cache = runner._jit_cache
+        runner_eager_sfm._params = runner.params
+        runner_eager_sfm._weights_loaded = runner._weights_loaded
         mfu.reset()
         mfu.SYNC_TIMING = True
         try:
             t0 = time.time()
-            runner.sparse_reconstruct(images)
+            runner_eager_sfm.sparse_reconstruct(images)
             sync_total = time.time() - t0
             rep = mfu.flops_report()
         finally:

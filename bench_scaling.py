@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--points", type=int, default=8192)
     ap.add_argument("--obs-per-frame", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--single-only", action="store_true",
+                    help="time only the single-device solver and exit "
+                         "(run under `taskset -c 0` to get a one-core "
+                         "serial baseline for strong-scaling accounting)")
     args = ap.parse_args(argv)
     sizes = sorted({int(x) for x in str(args.devices).split(",")})
 
@@ -107,7 +111,12 @@ def main(argv=None):
             ts.append(time.time() - t0)
         return float(np.median(ts)), r
 
+    ncores = os.cpu_count() or 1
     t1, r1 = timed(run_single)
+    if args.single_only:
+        print(json.dumps({"t_single_s": round(t1, 3),
+                          "affinity_cores": len(os.sched_getaffinity(0))}))
+        return 0
     curve = {}
     for n in sizes:
         mesh = Mesh(np.array(jax.devices()[:n]), ("points",))
@@ -115,14 +124,27 @@ def main(argv=None):
         if not np.allclose(r1, rn, atol=1e-3):
             print(f"WARNING: N={n} sharded result diverges from "
                   "single-device", file=sys.stderr)
+        # two readings, because N virtual devices share ncores real
+        # cores: `efficiency` is the raw wall-clock law t1/(N*tN) —
+        # meaningful only while N <= ncores; `efficiency_core_bound`
+        # compares against the best this host could possibly do
+        # (t1/min(N, ncores) wall) and is the honest simulated-mesh
+        # number for N > ncores. Real chips use the raw law.
+        ideal = t1 / min(n, ncores)
         curve[n] = {"t_sharded_s": round(tn, 3),
-                    "efficiency": round(t1 / (n * tn), 3)}
+                    "efficiency": round(t1 / (n * tn), 3),
+                    "efficiency_core_bound": round(ideal / tn, 3)}
     n_max = max(sizes)
+    val = (curve[n_max]["efficiency"] if n_max <= ncores
+           else curve[n_max]["efficiency_core_bound"])
     print(json.dumps({
         "metric": "distributed_ba_scaling_efficiency",
-        "value": curve[n_max]["efficiency"],
-        "unit": f"t1/(N*tN), N={n_max} simulated devices",
-        "detail": {"t_single_s": round(t1, 3),
+        "value": val,
+        "unit": (f"t1/(N*tN), N={n_max} simulated devices"
+                 if n_max <= ncores else
+                 f"vs core-bound ideal, N={n_max} virtual devices on "
+                 f"{ncores} cores"),
+        "detail": {"t_single_s": round(t1, 3), "host_cores": ncores,
                    "curve": {f"N={n}": curve[n] for n in sizes},
                    "frames": S, "points": P,
                    "observations": int(len(obs_f)),

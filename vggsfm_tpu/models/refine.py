@@ -76,8 +76,10 @@ def _extract_patches_tiled(images, tl_x, tl_y, psize: int):
     row-gather (slice = a full 1024-element tile, the shape TPU gathers
     handle efficiently), then cut the exact (psize, psize*C) window out
     of the covering block with two one-hot matmuls. The one-hot matmul
-    is EXACT (each output element sums exactly one input), so this is
-    bit-identical to slicing.
+    is EXACT (each output element sums exactly one input) as long as the
+    matmul does not truncate its inputs — the selection einsums run at
+    Precision.HIGHEST so f32 patches survive bit-identical to slicing
+    (default TPU matmul precision would round f32 inputs through bf16).
     """
     B, S, H, W, C = images.shape
     N = tl_x.shape[2]
@@ -115,8 +117,9 @@ def _extract_patches_tiled(images, tl_x, tl_y, psize: int):
             == (dx[..., None, None]
                 + jnp.arange(rowlen)[:, None])).astype(dt)
     # rsel: (BS, N, psize, nrt*TS); csel: (BS, N, rowlen, nct*TL)
-    tmp = jnp.einsum("tnpr,tnrl->tnpl", rsel, g)
-    win = jnp.einsum("tnpl,tnql->tnpq", tmp, csel)
+    hi = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("tnpr,tnrl->tnpl", rsel, g, precision=hi)
+    win = jnp.einsum("tnpl,tnql->tnpq", tmp, csel, precision=hi)
     return win.reshape(B, S, N, psize, psize, C)
 
 

@@ -46,12 +46,20 @@ def build_corr_pyramid(fmaps: jax.Array, num_levels: int,
     at level 0, then channel-first pooling — the per-level NHWC->C-first
     relayouts inside the fine corr loop cost ~20 ms per 16k-patch call
     otherwise (profiler trace, tools/perf_probe2.py).
+
+    Small maps stop the pyramid early (reference semantics, blocks.py:
+    355-361 pools only while the map is >= 2x2): a 2x2 VALID pool of a
+    1-wide map would yield a 0-size level, which downstream chunk sizing
+    divides by. Callers pad the missing correlation features with zeros
+    (BaseTrackerPredictor's transformer_dim pad), so fewer levels is safe.
     """
     B, S, H, W, C = fmaps.shape
     if cfirst:
         x = fmaps.reshape(B * S, H, W, C).transpose(0, 3, 1, 2)
         pyramid = [x.reshape(B, S, C, H, W)]
         for _ in range(num_levels - 1):
+            if x.shape[2] < 2 or x.shape[3] < 2:
+                break
             x = jax.lax.reduce_window(
                 x, jnp.zeros((), x.dtype), jax.lax.add,
                 (1, 1, 2, 2), (1, 1, 2, 2), "VALID") / jnp.asarray(
@@ -62,6 +70,8 @@ def build_corr_pyramid(fmaps: jax.Array, num_levels: int,
     pyramid = [fmaps]
     x = fmaps.reshape(B * S, H, W, C)
     for _ in range(num_levels - 1):
+        if x.shape[1] < 2 or x.shape[2] < 2:
+            break
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         h, w = x.shape[1:3]
         pyramid.append(x.reshape(B, S, h, w, C))
@@ -103,8 +113,13 @@ def _bilinear_window_matmul(cmap: jax.Array, centers: jax.Array, r: int,
     vx = ((cols == ix[..., None]).astype(dt) * (1 - fx)
           + (cols == (ix + 1)[..., None]).astype(dt) * fx)
     # uy: (B, S, N, W1, H); vx: (B, S, N, W1, W)
-    tmp = jnp.einsum("bsnph,bsnhw->bsnpw", uy, cmap.astype(dt))
-    corr = jnp.einsum("bsnpw,bsnqw->bsnpq", tmp, vx)
+    # HIGHEST precision: free for the default bf16 pipeline (bf16 inputs
+    # have nothing to split) and keeps the f32 precision mode honest —
+    # default TPU matmul precision would round f32 inputs through bf16.
+    hi = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("bsnph,bsnhw->bsnpw", uy, cmap.astype(dt),
+                     precision=hi)
+    corr = jnp.einsum("bsnpw,bsnqw->bsnpq", tmp, vx, precision=hi)
     return corr.reshape(B, S, N, W1 * W1)
 
 
@@ -153,9 +168,15 @@ def corr_sample(pyramid: list, coords: jax.Array, track_feats: jax.Array,
         # per-window DMA kernel (fetch-issue-bound): the whole corr
         # stage becomes dense MXU work (full coarse call 1.28 s ->
         # 0.31 s, tools/perf_probe2.py). The track axis is chunked so
-        # the transient (B, S, Nc, HW) cmap stays under ~1 GB bf16.
+        # the transient (B, S, Nc, HW) cmap stays under ~1 GB in its
+        # actual dtype (bytes, not elements).
+        # NOTE: this branch deliberately precedes (overrides) the
+        # use_pallas_corr DMA kernels for many-track calls — the full
+        # GEMM measured strictly faster on-chip; the flag still selects
+        # the kernels for the small-N shapes below.
         if N >= 64:
-            max_chunk = max(64, (1 << 30) // (B * S * H * W))
+            itemsize = jnp.dtype(track_feats.dtype).itemsize
+            max_chunk = max(64, (1 << 30) // max(1, B * S * H * W * itemsize))
             chunks = []
             for n0 in range(0, N, max_chunk):
                 tf_c = track_feats[:, :, n0: n0 + max_chunk]
