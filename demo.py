@@ -95,6 +95,9 @@ def build_config(args):
     defaults. A flag left at its argparse default never clobbers a YAML
     value.
     """
+    from vggsfm_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     from vggsfm_tpu.runner import RunnerConfig
 
     overrides = dict(

@@ -51,6 +51,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from vggsfm_tpu.datasets.imc import IMCDataset, evaluate_bag
+    from vggsfm_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
 
     ds = IMCDataset(args.imc_dir, img_size=args.img_size,

@@ -87,6 +87,9 @@ def run_scene(params, scene_dir, img_size, query_method, max_query_pts,
               query_frame_num):
     import jax.numpy as jnp
 
+    from vggsfm_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
 
     cfg = RunnerConfig(img_size=img_size, query_method=query_method,

@@ -72,6 +72,12 @@ class BAConfig:
     # 24k-track iteration on v5e — a 25-cap solve that converges in 8
     # iterations was spending 3x its useful time).
     function_tolerance: float = 1e-6
+    # points statically frozen: skip the entire point-Schur machinery
+    # (point Jacobians, V/W coupling blocks, back-substitution) — the
+    # normal equations decouple into independent per-camera blocks.
+    # Used by refine_poses, where every point is constant and the full
+    # Schur path was pure overhead (~40% of each LM iteration).
+    pose_only: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +294,8 @@ def _bundle_adjust(
     T = jnp.asarray(_tying_matrix(S, K, cfg.shared_intrinsics))
     P = T.shape[1]
 
-    jac_fn = jax.jacfwd(_residual_one, argnums=(0, 1))
+    jac_fn = jax.jacfwd(_residual_one,
+                        argnums=(0,) if cfg.pose_only else (0, 1))
 
     # pad points to a chunk multiple
     PC = min(cfg.point_chunk, N)
@@ -316,15 +323,27 @@ def _bundle_adjust(
         def per_cam(R_s, t_s, f_s, pp_s, k_s, obs_s, m_s, sm_s):
             def per_pt(X, o, mm, pm):
                 r = _residual_one(zc, zp, R_s, t_s, f_s, pp_s, k_s, X, o)
-                Jc, Jp = jac_fn(zc, zp, R_s, t_s, f_s, pp_s, k_s, X, o)
                 _, z = _project_one(R_s, t_s, f_s, pp_s, k_s, X)
                 valid = mm * (z > 0)
                 sw = _robust_sqrt_weight(jnp.sum(r * r), cfg) * valid
+                if cfg.pose_only:
+                    (Jc,) = jac_fn(zc, zp, R_s, t_s, f_s, pp_s, k_s, X, o)
+                    return sw * r, sw * Jc * sm_s[None, :]
+                Jc, Jp = jac_fn(zc, zp, R_s, t_s, f_s, pp_s, k_s, X, o)
                 return sw * r, sw * Jc * sm_s[None, :], sw * Jp * pm
             return jax.vmap(per_pt)(X_chunk, obs_s, m_s, pm_chunk)
 
-        r, Jc, Jp = jax.vmap(per_cam)(
+        out = jax.vmap(per_cam)(
             R_, t_, f_, params["pp"], k_, obs_chunk, m_chunk, slot_mask)
+        if cfg.pose_only:
+            # points statically frozen: the normal equations decouple per
+            # camera — no V/W/Y Schur blocks, no back-substitution
+            r, Jc = out
+            cost = jnp.sum(r * r)
+            U = jnp.einsum("snic,snid->scd", Jc, Jc)
+            b_c = -jnp.einsum("snic,sni->sc", Jc, r)
+            return cost, U, b_c
+        r, Jc, Jp = out
         # r (S,PC,2), Jc (S,PC,2,C), Jp (S,PC,2,3)
         cost = jnp.sum(r * r)
         U = jnp.einsum("snic,snid->scd", Jc, Jc)
@@ -344,16 +363,28 @@ def _bundle_adjust(
     def assemble(params, lam):
         X_p = pad_pts(params["X"])
 
-        def body(i, acc):
-            (cost, U, b_c, S_cross, b_corr, Vinv, b_p,
-             W) = linearize_chunk(
-                params,
+        def slices(i):
+            return (
                 jax.lax.dynamic_slice_in_dim(X_p, i * PC, PC),
                 jax.lax.dynamic_slice_in_dim(tracks_p, i * PC, PC, axis=1),
                 jax.lax.dynamic_slice_in_dim(m_p, i * PC, PC, axis=1),
                 jax.lax.dynamic_slice_in_dim(pmask_p, i * PC, PC),
-                lam,
             )
+
+        if cfg.pose_only:
+            def body_po(i, acc):
+                cost, U, b_c = linearize_chunk(params, *slices(i), lam)
+                cost_a, U_a, b_c_a = acc
+                return (cost_a + cost, U_a + U, b_c_a + b_c)
+
+            init_po = (jnp.zeros((), dtype),
+                       jnp.zeros((S, C, C), dtype),
+                       jnp.zeros((S, C), dtype))
+            return jax.lax.fori_loop(0, n_chunks, body_po, init_po)
+
+        def body(i, acc):
+            (cost, U, b_c, S_cross, b_corr, Vinv, b_p,
+             W) = linearize_chunk(params, *slices(i), lam)
             (cost_a, U_a, b_c_a, S_a, bcor_a, Vinv_a, b_p_a, W_a) = acc
             Vinv_a = jax.lax.dynamic_update_slice_in_dim(
                 Vinv_a, Vinv, i * PC, axis=0)
@@ -421,10 +452,16 @@ def _bundle_adjust(
 
     def lm_step(carry):
         params, lam, cost, hist, it, _ = carry
-        (_, U, b_c, S_cross, b_corr, Vinv, b_p,
-         W_full) = assemble(params, lam)
-        dc = solve_cameras(U, b_c, S_cross, b_corr, lam)
-        dX = back_substitute(dc, Vinv, b_p, W_full)
+        if cfg.pose_only:
+            _, U, b_c = assemble(params, lam)
+            zSC = jnp.zeros((S, C, S, C), dtype)
+            dc = solve_cameras(U, b_c, zSC, jnp.zeros((S, C), dtype), lam)
+            dX = jnp.zeros((Np, 3), dtype)
+        else:
+            (_, U, b_c, S_cross, b_corr, Vinv, b_p,
+             W_full) = assemble(params, lam)
+            dc = solve_cameras(U, b_c, S_cross, b_corr, lam)
+            dX = back_substitute(dc, Vinv, b_p, W_full)
         cand = apply_deltas(params, dc, dX)
         new_cost = total_cost(cand)
         accept = new_cost < cost

@@ -135,10 +135,30 @@ class CameraPredictor(nn.Module):
         feat = self.backbone(x)  # (B*S, P, z_dim)
         return jnp.mean(feat, axis=1).reshape(B, S, -1).astype(jnp.float32)
 
+    def _trunk_iter(self, carry, feat_init):
+        """One pose-refinement iteration (nn.scan body; params shared
+        across iterations exactly as the reference's Python loop)."""
+        rgb_feat, pose_enc = carry
+        pose_enc = jax.lax.stop_gradient(pose_enc)
+        rgb_feat = rgb_feat + self._embed_pose(pose_enc).astype(
+            rgb_feat.dtype)
+        for blk in self.trunk:
+            rgb_feat = blk(rgb_feat)
+        delta = self.pose_branch(rgb_feat)
+        delta_pose = delta[..., : self.target_dim]
+        delta_feat = delta[..., self.target_dim:]
+        rgb_feat = nn.gelu(self.ffeat_updater(self._norm(delta_feat)),
+                           approximate=False) + rgb_feat
+        pose_enc = pose_enc + delta_pose.astype(jnp.float32)
+        rgb_feat = (rgb_feat + feat_init) / 2
+        return (rgb_feat, pose_enc), None
+
     def __call__(self, images, iters: int = 4, rgb_feat_init=None):
         """Returns dict with ``pred_pose_enc`` (B, S, 8) and
         ``rgb_feat_init`` for reuse across query orderings
-        (parity: camera_predictor.py:147-180)."""
+        (parity: camera_predictor.py:147-180). The iteration loop runs
+        under nn.scan — body compiled once, ~4x smaller XLA program,
+        bit-identical results (iterations are serially data-dependent)."""
         if rgb_feat_init is None:
             rgb_feat = self.get_2d_image_features(images)
         else:
@@ -147,18 +167,17 @@ class CameraPredictor(nn.Module):
         feat_init = rgb_feat
 
         pose_enc = jnp.zeros((B, S, self.target_dim), jnp.float32)
-        for _ in range(iters):
-            pose_enc = jax.lax.stop_gradient(pose_enc)
-            rgb_feat = rgb_feat + self._embed_pose(pose_enc).astype(
-                rgb_feat.dtype)
-            for blk in self.trunk:
-                rgb_feat = blk(rgb_feat)
-            delta = self.pose_branch(rgb_feat)
-            delta_pose = delta[..., : self.target_dim]
-            delta_feat = delta[..., self.target_dim:]
-            rgb_feat = nn.gelu(self.ffeat_updater(self._norm(delta_feat)),
-                               approximate=False) + rgb_feat
-            pose_enc = pose_enc + delta_pose.astype(jnp.float32)
-            rgb_feat = (rgb_feat + feat_init) / 2
+        if iters > 1:
+            scanned = nn.scan(
+                type(self)._trunk_iter,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=nn.broadcast, out_axes=0, length=iters)
+            (rgb_feat, pose_enc), _ = scanned(
+                self, (rgb_feat, pose_enc), feat_init)
+        else:
+            for _ in range(iters):
+                (rgb_feat, pose_enc), _ = self._trunk_iter(
+                    (rgb_feat, pose_enc), feat_init)
 
         return {"pred_pose_enc": pose_enc, "rgb_feat_init": feat_init}

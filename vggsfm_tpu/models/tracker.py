@@ -441,7 +441,15 @@ class EfficientUpdateFormer(nn.Module):
 
 
 class BaseTrackerPredictor(nn.Module):
-    """Iterative track refinement head. Parity: base_track_predictor.py."""
+    """Iterative track refinement head. Parity: base_track_predictor.py.
+
+    The refinement iterations run under ``nn.scan`` (params broadcast, body
+    compiled ONCE): the fully unrolled 6-iteration graph multiplied XLA
+    compile time ~6x for zero steady-state benefit — iterations are data-
+    dependent (coords feed the next step), so the unroll bought no
+    cross-iteration parallelism. Param names are unchanged (setup-style
+    submodules match the previous compact names).
+    """
 
     stride: int = 4
     corr_levels: int = 5
@@ -453,6 +461,7 @@ class BaseTrackerPredictor(nn.Module):
     fine: bool = False
     dtype: Any = jnp.float32
     use_pallas_corr: bool = False
+    scan_iters: bool = True
 
     @property
     def transformer_dim(self) -> int:
@@ -462,7 +471,73 @@ class BaseTrackerPredictor(nn.Module):
             return d + (4 if d % 2 == 0 else 5)
         return d + (4 - d % 4) % 4
 
-    @nn.compact
+    def setup(self):
+        self.updateformer = EfficientUpdateFormer(
+            space_depth=self.depth if self.use_spaceatt else 0,
+            time_depth=self.depth,
+            hidden_size=self.hidden_size,
+            output_dim=self.latent_dim + 2,
+            add_space_attn=self.use_spaceatt,
+            dtype=self.dtype)
+        self.norm_scale = self.param("norm_scale", nn.initializers.ones,
+                                     (self.latent_dim,))
+        self.norm_bias = self.param("norm_bias", nn.initializers.zeros,
+                                    (self.latent_dim,))
+        self.ffeat_updater = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.vis_predictor = nn.Dense(1, dtype=self.dtype)
+
+    def _iter_step(self, carry, x, corr_cfirst: bool):
+        """One refinement iteration (the nn.scan body).
+
+        carry = (coords (B,S,N,2) at fmap scale, track_feats (B,S,N,C));
+        x = (pyramid tuple, sampled_pos, qp) — loop-invariant arrays,
+        threaded through the broadcast input slot; `corr_cfirst` is
+        static and bound via closure.
+        """
+        coords, track_feats = carry
+        pyramid, sampled_pos, qp = x
+        B, S, N, _ = coords.shape
+        tdim = self.transformer_dim
+
+        coords = jax.lax.stop_gradient(coords)
+        fcorrs = corr_sample(list(pyramid), coords, track_feats,
+                             self.corr_radius,
+                             use_pallas=self.use_pallas_corr,
+                             cfirst=corr_cfirst)
+
+        flows = coords - coords[:, 0:1]  # (B,S,N,2)
+        flows_bn = flows.transpose(0, 2, 1, 3)  # (B,N,S,2)
+        flows_emb = get_2d_embedding(flows_bn, self.latent_dim // 2,
+                                     cat_coords=False)
+        flows_emb = jnp.concatenate([flows_emb, flows_bn], axis=-1)
+
+        fcorrs_bn = fcorrs.transpose(0, 2, 1, 3)  # (B,N,S,corrdim)
+        tfeats_bn = track_feats.transpose(0, 2, 1, 3)  # (B,N,S,C)
+
+        xx = jnp.concatenate([flows_emb, fcorrs_bn, tfeats_bn], axis=-1)
+        pad = tdim - xx.shape[-1]
+        if pad > 0:
+            xx = jnp.concatenate(
+                [xx, jnp.zeros(xx.shape[:-1] + (pad,), xx.dtype)], axis=-1)
+        xx = xx + sampled_pos[:, :, None, :]
+
+        delta = self.updateformer(xx)  # (B, N, S, latent+2)
+        delta_coords = delta[..., :2].astype(jnp.float32).transpose(
+            0, 2, 1, 3)
+        delta_feats = delta[..., 2:]
+
+        df = delta_feats.reshape(-1, self.latent_dim)
+        df = group_norm_1(df, self.norm_scale, self.norm_bias)
+        df = nn.gelu(self.ffeat_updater(df), approximate=False).astype(
+            self.dtype)
+        track_feats = (tfeats_bn.reshape(-1, self.latent_dim)
+                       + df).reshape(B, N, S, self.latent_dim).transpose(
+                           0, 2, 1, 3)
+
+        coords = coords + delta_coords
+        coords = coords.at[:, 0].set(jnp.broadcast_to(qp, (B, N, 2)))
+        return (coords, track_feats), coords
+
     def __call__(self, query_points, fmaps, iters: int = 4,
                  down_ratio: int = 1, return_feat: bool = False,
                  matching_init: bool = False, matching_vis: bool = False):
@@ -494,7 +569,6 @@ class BaseTrackerPredictor(nn.Module):
                                      cfirst=corr_cfirst)
 
         tdim = self.transformer_dim
-        flows_emb_dim = self.latent_dim // 2
 
         # the sincos grid is identical for every batch element: sample it
         # ONCE with the flattened (1, B*N, 2) query set — broadcasting to
@@ -504,60 +578,25 @@ class BaseTrackerPredictor(nn.Module):
         sampled_pos = bilinear_sample(
             pos_grid, qp.reshape(1, B * N, 2)).reshape(B, N, tdim)
 
-        updateformer = EfficientUpdateFormer(
-            space_depth=self.depth if self.use_spaceatt else 0,
-            time_depth=self.depth,
-            hidden_size=self.hidden_size,
-            output_dim=self.latent_dim + 2,
-            add_space_attn=self.use_spaceatt,
-            name="updateformer", dtype=self.dtype)
-        ffeat_gn_scale = self.param("norm_scale", nn.initializers.ones,
-                                    (self.latent_dim,))
-        ffeat_gn_bias = self.param("norm_bias", nn.initializers.zeros,
-                                   (self.latent_dim,))
-        ffeat_dense = nn.Dense(self.latent_dim, name="ffeat_updater",
-                               dtype=self.dtype)
+        invariants = (tuple(pyramid), sampled_pos, qp)
+        if self.scan_iters and iters > 1:
+            def body(mdl, carry, x):
+                return mdl._iter_step(carry, x, corr_cfirst)
 
-        coord_preds = []
-        for _ in range(iters):
-            coords = jax.lax.stop_gradient(coords)
-            fcorrs = corr_sample(pyramid, coords, track_feats,
-                                 self.corr_radius,
-                                 use_pallas=self.use_pallas_corr,
-                                 cfirst=corr_cfirst)
-
-            flows = coords - coords[:, 0:1]  # (B,S,N,2)
-            flows_bn = flows.transpose(0, 2, 1, 3)  # (B,N,S,2)
-            flows_emb = get_2d_embedding(flows_bn, flows_emb_dim,
-                                         cat_coords=False)
-            flows_emb = jnp.concatenate([flows_emb, flows_bn], axis=-1)
-
-            fcorrs_bn = fcorrs.transpose(0, 2, 1, 3)  # (B,N,S,corrdim)
-            tfeats_bn = track_feats.transpose(0, 2, 1, 3)  # (B,N,S,C)
-
-            x = jnp.concatenate([flows_emb, fcorrs_bn, tfeats_bn], axis=-1)
-            pad = tdim - x.shape[-1]
-            if pad > 0:
-                x = jnp.concatenate(
-                    [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
-            x = x + sampled_pos[:, :, None, :]
-
-            delta = updateformer(x)  # (B, N, S, latent+2)
-            delta_coords = delta[..., :2].astype(jnp.float32).transpose(
-                0, 2, 1, 3)
-            delta_feats = delta[..., 2:]
-
-            df = delta_feats.reshape(-1, self.latent_dim)
-            df = group_norm_1(df, ffeat_gn_scale, ffeat_gn_bias)
-            df = nn.gelu(ffeat_dense(df), approximate=False).astype(
-                self.dtype)
-            track_feats = (tfeats_bn.reshape(-1, self.latent_dim)
-                           + df).reshape(B, N, S, self.latent_dim).transpose(
-                               0, 2, 1, 3)
-
-            coords = coords + delta_coords
-            coords = coords.at[:, 0].set(jnp.broadcast_to(qp, (B, N, 2)))
-            coord_preds.append(coords * scale)
+            scanned = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=nn.broadcast, out_axes=0, length=iters)
+            (coords, track_feats), preds = scanned(
+                self, (coords, track_feats), invariants)
+            coord_preds = [preds[i] * scale for i in range(iters)]
+        else:
+            coord_preds = []
+            for _ in range(iters):
+                (coords, track_feats), pred = self._iter_step(
+                    (coords, track_feats), invariants, corr_cfirst)
+                coord_preds.append(pred * scale)
 
         if not self.fine:
             if matching_vis and match_cyc is not None:
@@ -567,7 +606,7 @@ class BaseTrackerPredictor(nn.Module):
                 # cell; ->0 beyond ~3 cells of cycle drift.
                 vis = jax.nn.sigmoid(2.0 * (1.5 - match_cyc))
             else:
-                vis = nn.Dense(1, name="vis_predictor", dtype=self.dtype)(
+                vis = self.vis_predictor(
                     track_feats.reshape(-1, self.latent_dim))
                 vis = jax.nn.sigmoid(
                     vis.astype(jnp.float32).reshape(B, S, N))

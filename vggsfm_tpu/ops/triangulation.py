@@ -390,20 +390,42 @@ def triangulate_tracks(
             max_ransac_iters=int(pairs.shape[0]), lo_num=lo_num,
             max_angular_error=max_angular_error, min_tri_angle=min_tri_angle,
         )
-    outs = []
-    for start in range(0, N, chunk):
-        sl = slice(start, min(start + chunk, N))
-        outs.append(
-            triangulate_tracks_chunk(
-                extrinsics, tracks_nt[sl], pairs,
-                vis_nt[sl] if vis_nt is not None else None,
-                score_nt[sl] if score_nt is not None else None,
-                max_ransac_iters=int(pairs.shape[0]), lo_num=lo_num,
-                max_angular_error=max_angular_error,
-                min_tri_angle=min_tri_angle,
-            )
+    # chunk via lax.map, NOT a Python loop: run_sfm inlines this function
+    # 4x, and an unrolled 6-chunk loop once multiplied the LORANSAC
+    # subgraph 24x into the whole-solve program (49k HLO lines, ~2 min of
+    # XLA compile on its own). The map body compiles once; chunks were
+    # always executed serially (the chunking exists to bound memory).
+    n_pad = (-N) % chunk
+    n_chunks = (N + n_pad) // chunk
+
+    def pad(x):
+        return jnp.pad(x, [(0, n_pad)] + [(0, 0)] * (x.ndim - 1))
+
+    tracks_c = pad(tracks_nt).reshape(n_chunks, chunk, S, 2)
+    # padded tracks are all-zero -> vis 0 penalizes them out; outputs for
+    # the padding are sliced away below
+    vis_c = pad(vis_nt if vis_nt is not None
+                else jnp.ones((N, S), tracks_nt.dtype))
+    vis_c = vis_c.reshape(n_chunks, chunk, S)
+    score_c = (pad(score_nt).reshape(n_chunks, chunk, S)
+               if score_nt is not None else None)
+
+    def body(args):
+        tr, vi, sc = args
+        return triangulate_tracks_chunk(
+            extrinsics, tr, pairs, vi, sc,
+            max_ransac_iters=int(pairs.shape[0]), lo_num=lo_num,
+            max_angular_error=max_angular_error,
+            min_tri_angle=min_tri_angle,
         )
-    return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(3))
+
+    if score_c is None:
+        pts, num, msk = jax.lax.map(
+            lambda a: body((a[0], a[1], None)), (tracks_c, vis_c))
+    else:
+        pts, num, msk = jax.lax.map(body, (tracks_c, vis_c, score_c))
+    return (pts.reshape(-1, 3)[:N], num.reshape(-1)[:N],
+            msk.reshape(-1, S)[:N])
 
 
 @partial(jax.jit, static_argnames=("check_triangle", "hard_max"))

@@ -76,7 +76,10 @@ def refine_poses(extrinsics, intrinsics, points3d, tracks, obs_mask,
                    refine_focal=refine_intrinsics,
                    refine_extra=refine_intrinsics and extra_params is not None,
                    shared_intrinsics=shared_intrinsics,
-                   robust_loss="huber", loss_scale=3.0)
+                   robust_loss="huber", loss_scale=3.0,
+                   # all points frozen: per-camera decoupled normal
+                   # equations, no point-Schur machinery (lm.py pose_only)
+                   pose_only=True)
     extr_o, intr_o, extra_o, _, _ = bundle_adjust(
         extrinsics, intrinsics, points3d, tracks, obs_mask,
         extra_params=extra_params,
@@ -160,20 +163,31 @@ def refine_poses(extrinsics, intrinsics, points3d, tracks, obs_mask,
         valid |= use_pnp
 
         if not shared_intrinsics:
-            # focal unknown only where the camera is still invalid
-            pnp_f = absolute_pose_ransac(pts_b, tracks_p, intrinsics,
-                                         pnp_key, valid_mask=obs_mask_p,
-                                         f_trials=17)
-            pnp_f_valid = camera_validity_mask(
-                pnp_f["intrinsics"], pnp_f["extrinsics"], image_size)
-            pnp_f_valid &= _cheirality_frac(pnp_f["extrinsics"]) > 0.8
-            pnp_f_valid &= n_obs >= 8
-            use_f = pnp_f_valid & ~valid
-            extr_o = jnp.where(use_f[:, None, None], pnp_f["extrinsics"],
-                               extr_o)
-            intr_o = jnp.where(use_f[:, None, None], pnp_f["intrinsics"],
-                               intr_o)
-            valid |= use_f
+            # focal unknown only where the camera is still invalid — and
+            # the whole 17-focal sweep runs UNDER lax.cond: at S x 17
+            # focal trials the sweep's minimal DLT dominated refine_poses
+            # (~700 ms on-chip, probe perf_probe_pnp.py) yet in a healthy
+            # solve every frame is already valid and the result is
+            # discarded. cond skips the branch at runtime for free.
+            def _sweep(ops):
+                extr_i, intr_i, valid_i = ops
+                pnp_f = absolute_pose_ransac(
+                    pts_b, tracks_p, intrinsics, pnp_key,
+                    valid_mask=obs_mask_p, f_trials=17)
+                pnp_f_valid = camera_validity_mask(
+                    pnp_f["intrinsics"], pnp_f["extrinsics"], image_size)
+                pnp_f_valid &= _cheirality_frac(pnp_f["extrinsics"]) > 0.8
+                pnp_f_valid &= n_obs >= 8
+                use_f = pnp_f_valid & ~valid_i
+                extr_i = jnp.where(use_f[:, None, None],
+                                   pnp_f["extrinsics"], extr_i)
+                intr_i = jnp.where(use_f[:, None, None],
+                                   pnp_f["intrinsics"], intr_i)
+                return extr_i, intr_i, valid_i | use_f
+
+            extr_o, intr_o, valid = jax.lax.cond(
+                jnp.any(~valid), _sweep, lambda ops: ops,
+                (extr_o, intr_o, valid))
 
     v3 = valid[:, None, None]
     extr_o = jnp.where(v3, extr_o, extrinsics)

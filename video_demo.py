@@ -67,6 +67,9 @@ def main(argv=None):
     }
 
     from vggsfm_tpu.datasets.demo_loader import DemoLoader
+    from vggsfm_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     from vggsfm_tpu.runner import RunnerConfig, VGGSfMRunner
     from vggsfm_tpu.video import VideoConfig, VideoRunner
 
