@@ -135,6 +135,10 @@ def _run_config(scene, reps, measure_mfu=False, **overrides):
         runner_eager_sfm._jit_cache = runner._jit_cache
         runner_eager_sfm._params = runner.params
         runner_eager_sfm._weights_loaded = runner._weights_loaded
+        # warm rep first: the eager-SfM sub-kernels cold-compile on
+        # their first call, which would otherwise be booked as BA
+        # device seconds (observed 20 s of "ba_dense" that was compile)
+        runner_eager_sfm.sparse_reconstruct(images)
         mfu.reset()
         mfu.SYNC_TIMING = True
         try:

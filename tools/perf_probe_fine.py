@@ -56,16 +56,18 @@ def main():
     def make(n, subpix, score):
         def fn(p, im, tr):
             def fnet(x):
-                return r.tracker.apply(p, x, method="apply_fine_fnet")
+                return r.tracker.apply(p, x, True,
+                                       method="apply_fine_fnet")
 
-            def ftrack(q, f, iters, return_feat, matching_init):
+            def ftrack(q, f, iters, return_feat, matching_init,
+                       fmaps_flat_hw=None):
                 return r.tracker.apply(p, q, f, iters, return_feat,
-                                       matching_init,
+                                       matching_init, fmaps_flat_hw,
                                        method="apply_fine_predictor")
 
             return refine_track(im, fnet, ftrack, tr, compute_score=score,
                                 matching_init=True, subpixel_refine=subpix,
-                                patch_dtype=jnp.bfloat16)
+                                patch_dtype=jnp.bfloat16, flat_fnet=True)
         return jax.jit(fn)
 
     for name, n, subpix, score in (

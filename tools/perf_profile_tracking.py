@@ -82,16 +82,18 @@ def main():
 
         def fine_fn(p, im, t):
             def fnet(x):
-                return r.tracker.apply(p, x, method="apply_fine_fnet")
+                return r.tracker.apply(p, x, True,
+                                       method="apply_fine_fnet")
 
-            def ftrack(q, f, iters, return_feat, matching_init):
+            def ftrack(q, f, iters, return_feat, matching_init,
+                       fmaps_flat_hw=None):
                 return r.tracker.apply(p, q, f, iters, return_feat,
-                                       matching_init,
+                                       matching_init, fmaps_flat_hw,
                                        method="apply_fine_predictor")
 
             return refine_track(im, fnet, ftrack, t, compute_score=True,
                                 matching_init=True, subpixel_refine=True,
-                                patch_dtype=jnp.bfloat16)
+                                patch_dtype=jnp.bfloat16, flat_fnet=True)
 
         fns["fine"] = (jax.jit(fine_fn), (params, imgs, tr))
     if "coarse" in todo:

@@ -57,14 +57,24 @@ class BasicEncoder(nn.Module):
 
 
 class ShallowEncoder(nn.Module):
-    """(B, H, W, 3) -> (B, H/stride, W/stride, output_dim), stride 1 default."""
+    """(B, H, W, 3) -> (B, H/stride, W/stride, output_dim), stride 1 default.
+
+    With ``flat_cfirst`` the final upsample emits (B, output_dim, H'*W')
+    channel-first-flat instead: the (B, 31, 31, 32) NHWC output tensor
+    tiles its two minor dims to (8, 128) — a 4x padding expansion that
+    made the fine stage's post-fnet layout copies its largest fixed cost
+    (and OOMed the compiler at 32k patches). The flat form pads ~7%
+    (961 -> 1024 lanes), and it is exactly the layout the fine corr
+    pyramid consumes, so the downstream channels-first transpose
+    disappears too. Weights are identical across both modes.
+    """
 
     output_dim: int = 32
     stride: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, flat_cfirst: bool = False):
         _, H, W, _ = x.shape
         d = self.output_dim
         x = x.astype(self.dtype)
@@ -78,4 +88,16 @@ class ShallowEncoder(nn.Module):
         tmp = ResidualBlock(d, 2, name="layer2", dtype=self.dtype)(tmp)
         x = x + interpolate_bilinear(tmp, hw)
         x = nn.Conv(d, (1, 1), name="conv2", dtype=self.dtype)(x) + x
-        return interpolate_bilinear(x, (H // self.stride, W // self.stride))
+        out_hw = (H // self.stride, W // self.stride)
+        if not flat_cfirst:
+            return interpolate_bilinear(x, out_hw)
+        # fused upsample+transpose: one kron'd interpolation matrix
+        # contracts the flattened source spatial axis — out (B, C, H'W')
+        from vggsfm_tpu.models.sampling import _interp_matrix
+
+        B, h, w, _ = x.shape
+        My = _interp_matrix(h, out_hw[0], True, x.dtype)  # (H', h)
+        Mx = _interp_matrix(w, out_hw[1], True, x.dtype)  # (W', w)
+        M2 = jnp.einsum("oh,pw->ophw", My, Mx).reshape(
+            out_hw[0] * out_hw[1], h * w)
+        return jnp.einsum("bsc,os->bco", x.reshape(B, h * w, d), M2)

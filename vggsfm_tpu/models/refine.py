@@ -225,16 +225,18 @@ def refine_track(images, fine_fnet_apply, fine_tracker_apply, coarse_pred,
                  compute_score: bool = True, pradius: int = 15,
                  sradius: int = 2, fine_iters: int = 6,
                  matching_init: bool = False, subpixel_refine: bool = False,
-                 patch_dtype=None):
+                 patch_dtype=None, flat_fnet: bool = False):
     """Refine coarse tracks on local patches with the fine tracker.
 
     Args:
       images: (B, S, H, W, 3) in [0, 1].
       fine_fnet_apply: (B', psize, psize, 3) -> (B', psize, psize, C)
-        bound ShallowEncoder apply.
+        bound ShallowEncoder apply — or, with ``flat_fnet``, a closure
+        returning flat channel-first (B', C, psize*psize) (the
+        copy-free layout; see ShallowEncoder.flat_cfirst).
       fine_tracker_apply: (query_points, fmaps, iters, return_feat,
-        matching_init) -> (coord_preds, vis, track_feats, query_feats)
-        bound fine BaseTrackerPredictor apply.
+        matching_init[, fmaps_flat_hw]) -> (coord_preds, vis,
+        track_feats, query_feats) bound fine BaseTrackerPredictor apply.
       coarse_pred: (B, S, N, 2) coarse track positions.
 
     Returns (refined_tracks (B, S, N, 2), score (B, S, N) or None).
@@ -256,20 +258,33 @@ def refine_track(images, fine_fnet_apply, fine_tracker_apply, coarse_pred,
     # than transposing the 32-channel feature tensor after the fnet
     # (the feature transpose was ~1 GB of pure copy per fine call)
     patches = patches.transpose(0, 2, 1, 3, 4, 5)
-    patch_feat = fine_fnet_apply(
-        patches.reshape(B * N * S, psize, psize, 3))
-    C_out = patch_feat.shape[-1]
-    # (B*N, S, psize, psize, C): each track is its own "video" — a free
-    # reshape in the (B, N, S) order
-    patch_feat = patch_feat.reshape(B, N, S, psize, psize, C_out)
-    patch_fmaps = patch_feat.reshape(B * N, S, psize, psize, C_out)
 
     # query point inside its patch = fractional offset + pradius
     track_frac = coarse_pred - jnp.floor(coarse_pred)
     patch_query = (track_frac[:, 0] + pradius).reshape(B * N, 1, 2)
 
-    coord_preds, _, _, query_feat = fine_tracker_apply(
-        patch_query, patch_fmaps, fine_iters, True, matching_init)
+    if flat_fnet:
+        # flat channel-first feature path: no (.., psize, psize, C)
+        # feature tensor ever materializes (its (8, 128)-tiled layouts
+        # pad ~4x and cost ~40 ms/call in pure copies — profiler trace,
+        # tools/perf_profile_tracking.py)
+        pf = fine_fnet_apply(patches.reshape(B * N * S, psize, psize, 3))
+        C_out = pf.shape[1]
+        patch_feat = pf.reshape(B, N, S, C_out, psize * psize)
+        patch_fmaps = pf.reshape(B * N, S, C_out, psize * psize)
+        coord_preds, _, _, query_feat = fine_tracker_apply(
+            patch_query, patch_fmaps, fine_iters, True, matching_init,
+            (psize, psize))
+    else:
+        patch_feat = fine_fnet_apply(
+            patches.reshape(B * N * S, psize, psize, 3))
+        C_out = patch_feat.shape[-1]
+        # (B*N, S, psize, psize, C): each track is its own "video" — a
+        # free reshape in the (B, N, S) order
+        patch_feat = patch_feat.reshape(B, N, S, psize, psize, C_out)
+        patch_fmaps = patch_feat.reshape(B * N, S, psize, psize, C_out)
+        coord_preds, _, _, query_feat = fine_tracker_apply(
+            patch_query, patch_fmaps, fine_iters, True, matching_init)
 
     fine_patch_track = coord_preds[-1]  # (B*N, S, 1, 2) patch coords
     fine_level = fine_patch_track.reshape(B, N, S, 2).transpose(0, 2, 1, 3)
@@ -289,23 +304,23 @@ def refine_track(images, fine_fnet_apply, fine_tracker_apply, coarse_pred,
         else:
             score = compute_score_fn(query_feat, patch_feat,
                                      fine_patch_track, sradius, psize,
-                                     B, N, S, C_out)
+                                     B, N, S, C_out, flat=flat_fnet)
     return refined, score
 
 
 def compute_score_fn(query_feat, patch_feat, fine_patch_track, sradius,
-                     psize, B, N, S, C_out):
+                     psize, B, N, S, C_out, flat: bool = False):
     """Confidence = spread (std) of the local similarity heatmap.
 
     Parity: refine_track.py:190-294 (kornia dsnt soft-argmax inlined).
-    Low std ~ a peaked, unambiguous match.
+    Low std ~ a peaked, unambiguous match. With ``flat`` the patch
+    features arrive flat channel-first (B, N, S, C, psize*psize).
     """
     ssize = 2 * sradius + 1
 
     # small ssize x ssize windows of patch features at the refined
     # position — patch_feat arrives in (B, N, S, ...) track-video order
     centers = fine_patch_track.reshape(B, N, S, 2)
-    flat_patch = patch_feat.reshape(B, N, S, psize * psize, C_out)
     tl = jnp.clip(jnp.floor(centers).astype(jnp.int32) - sradius, 0,
                   psize - ssize)
     dy, dx = jnp.meshgrid(jnp.arange(ssize), jnp.arange(ssize),
@@ -313,11 +328,17 @@ def compute_score_fn(query_feat, patch_feat, fine_patch_track, sradius,
     ys = tl[..., 1, None, None] + dy
     xs = tl[..., 0, None, None] + dx
     idx = (ys * psize + xs).reshape(B, N, S, ssize * ssize)
-    windows = jnp.take_along_axis(flat_patch, idx[..., None], axis=3)
-    # (B, N, S, ssize*ssize, C)
-
     qf = query_feat.reshape(B, N, C_out)
-    sim = jnp.einsum("bnc,bnsrc->bnsr", qf, windows[:, :, 1:])
+    if flat:
+        # (B, N, S, C, psize*psize): gather the window on the flat axis
+        windows = jnp.take_along_axis(
+            patch_feat, idx[..., None, :], axis=4)
+        sim = jnp.einsum("bnc,bnscr->bnsr", qf, windows[:, :, 1:])
+    else:
+        flat_patch = patch_feat.reshape(B, N, S, psize * psize, C_out)
+        windows = jnp.take_along_axis(flat_patch, idx[..., None], axis=3)
+        # (B, N, S, ssize*ssize, C)
+        sim = jnp.einsum("bnc,bnsrc->bnsr", qf, windows[:, :, 1:])
     heat = jax.nn.softmax(sim / jnp.sqrt(C_out), axis=-1)
 
     # normalized [-1, 1] grid, soft-argmax spread

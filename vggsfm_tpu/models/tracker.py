@@ -78,6 +78,133 @@ def build_corr_pyramid(fmaps: jax.Array, num_levels: int,
     return pyramid
 
 
+def _pool_matrix(H: int, W: int, dtype) -> jax.Array:
+    """(H//2 * W//2, H*W) flat-spatial 2x2 VALID average-pool matrix."""
+    import numpy as np
+
+    H2, W2 = H // 2, W // 2
+    P = np.zeros((H2 * W2, H * W), np.float32)
+    for o in range(H2):
+        for p in range(W2):
+            for dy in range(2):
+                for dx in range(2):
+                    P[o * W2 + p, (2 * o + dy) * W + (2 * p + dx)] = 0.25
+    return jnp.asarray(P, dtype)
+
+
+def build_corr_pyramid_flat(x: jax.Array, hw: tuple, num_levels: int):
+    """Flat channel-first pyramid: (B, S, C, H*W) levels, pooled by
+    matmul against a static 2x2-average matrix on the FLAT spatial axis.
+
+    The (.., H, W) unflattened layouts tile their two minor dims to
+    (8, 128) — a ~4x padding expansion at the fine tracker's 31x31
+    patches that dominated the stage in layout copies; flat spatial
+    pads 961 -> 1024 (~7%) and every consumer (full-map correlation,
+    window extraction via one-hot matmuls) contracts the flat axis
+    directly on the MXU.
+
+    Returns (levels list of (B, S, C, HW_l), hws list of (H_l, W_l)).
+    """
+    B, S, C, _ = x.shape
+    H, W = hw
+    levels, hws = [x], [(H, W)]
+    for _ in range(num_levels - 1):
+        if H < 2 or W < 2:
+            break
+        P = _pool_matrix(H, W, x.dtype)
+        x = jnp.einsum("bscx,ox->bsco", x, P)
+        H, W = H // 2, W // 2
+        levels.append(x)
+        hws.append((H, W))
+    return levels, hws
+
+
+def _sample_flat(x0: jax.Array, qp: jax.Array, hw: tuple) -> jax.Array:
+    """Bilinear-sample flat channel-first features: x0 (B, C, HW) at
+    qp (B, N, 2) -> (B, N, C). Border-clamped, via a 4-tap one-hot
+    weight vector contracted on the MXU (no scalar gathers)."""
+    H, W = hw
+    x_, y_ = qp[..., 0], qp[..., 1]
+    x_ = jnp.clip(x_, 0.0, W - 1.0)
+    y_ = jnp.clip(y_, 0.0, H - 1.0)
+    x0i = jnp.floor(x_)
+    y0i = jnp.floor(y_)
+    fx = (x_ - x0i)[..., None]
+    fy = (y_ - y0i)[..., None]
+    x0i = x0i.astype(jnp.int32)
+    y0i = y0i.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+    pos = jnp.arange(H * W, dtype=jnp.int32)
+
+    def tap(yy, xx, w):
+        return (pos == (yy * W + xx)[..., None]).astype(x0.dtype) * w
+
+    wvec = (tap(y0i, x0i, (1 - fy) * (1 - fx))
+            + tap(y0i, x1i, (1 - fy) * fx)
+            + tap(y1i, x0i, fy * (1 - fx))
+            + tap(y1i, x1i, fy * fx))  # (B, N, HW)
+    return jnp.einsum("bcx,bnx->bnc", x0, wvec)
+
+
+def _global_match_flat(levels0: jax.Array, query_feats: jax.Array,
+                       qp: jax.Array, hw: tuple):
+    """Correlation-argmax init for flat channel-first fmaps (no cycle).
+
+    levels0 (B, S, C, HW), query_feats (B, N, C), qp (B, N, 2) ->
+    coords (B, S, N, 2) at fmap scale. Same cosine-similarity + 3x3
+    parabola refinement as `global_match_coords`.
+    """
+    B, S, C, HW = levels0.shape
+    H, W = hw
+
+    def l2n(x, axis):
+        return x * jax.lax.rsqrt(
+            jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis,
+                    keepdims=True) + 1e-12).astype(x.dtype)
+
+    qf = l2n(query_feats.astype(levels0.dtype), -1)
+    fm = l2n(levels0, 2)
+    corr = jnp.einsum("bscx,bnc->bsnx", fm, qf,
+                      preferred_element_type=jnp.float32)
+    idx = jnp.argmax(corr, axis=-1)  # (B, S, N)
+    iy = idx // W
+    ix = idx % W
+
+    def val(dy, dx):
+        yy = jnp.clip(iy + dy, 0, H - 1)
+        xx = jnp.clip(ix + dx, 0, W - 1)
+        return jnp.take_along_axis(corr, (yy * W + xx)[..., None],
+                                   axis=-1)[..., 0]
+
+    off_x, off_y, _ = subpixel_parabola(val)
+    coords = jnp.stack([ix + off_x, iy + off_y], axis=-1).astype(
+        jnp.float32)
+    return coords.at[:, 0].set(qp.astype(jnp.float32))
+
+
+def corr_sample_flat(levels: list, hws: list, coords: jax.Array,
+                     track_feats: jax.Array, radius: int) -> jax.Array:
+    """Correlation features from a flat channel-first pyramid.
+
+    levels[i]: (B, S, C, HW_i); coords (B, S, N, 2) level-0 scale;
+    track_feats (B, S, N, C). Full correlation map per level as one
+    flat-axis einsum, then the bilinear (2r+1)^2 window via the
+    one-hot matmuls. Returns (B, S, N, L*(2r+1)^2).
+    """
+    B, S, N, C = track_feats.shape
+    out = []
+    for i, (lvl, (H, W)) in enumerate(zip(levels, hws)):
+        centers = coords / (2.0 ** i)
+        cm = jnp.einsum("bscx,bsnc->bsnx", lvl, track_feats,
+                        preferred_element_type=jnp.float32)
+        cmap = cm.reshape(B, S, N, H, W)
+        corr = _bilinear_window_matmul(cmap, centers, radius,
+                                       track_feats.dtype)
+        out.append(corr / jnp.sqrt(C).astype(corr.dtype))
+    return jnp.concatenate(out, axis=-1)
+
+
 def _bilinear_window_matmul(cmap: jax.Array, centers: jax.Array, r: int,
                             dt) -> jax.Array:
     """Bilinear (2r+1)^2 windows out of scalar correlation maps — as two
@@ -486,13 +613,14 @@ class BaseTrackerPredictor(nn.Module):
         self.ffeat_updater = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.vis_predictor = nn.Dense(1, dtype=self.dtype)
 
-    def _iter_step(self, carry, x, corr_cfirst: bool):
+    def _iter_step(self, carry, x, corr_cfirst: bool,
+                   flat_hws: list | None = None):
         """One refinement iteration (the nn.scan body).
 
         carry = (coords (B,S,N,2) at fmap scale, track_feats (B,S,N,C));
         x = (pyramid tuple, sampled_pos, qp) — loop-invariant arrays,
-        threaded through the broadcast input slot; `corr_cfirst` is
-        static and bound via closure.
+        threaded through the broadcast input slot; `corr_cfirst` /
+        `flat_hws` are static and bound via closure.
         """
         coords, track_feats = carry
         pyramid, sampled_pos, qp = x
@@ -500,10 +628,14 @@ class BaseTrackerPredictor(nn.Module):
         tdim = self.transformer_dim
 
         coords = jax.lax.stop_gradient(coords)
-        fcorrs = corr_sample(list(pyramid), coords, track_feats,
-                             self.corr_radius,
-                             use_pallas=self.use_pallas_corr,
-                             cfirst=corr_cfirst)
+        if flat_hws is not None:
+            fcorrs = corr_sample_flat(list(pyramid), flat_hws, coords,
+                                      track_feats, self.corr_radius)
+        else:
+            fcorrs = corr_sample(list(pyramid), coords, track_feats,
+                                 self.corr_radius,
+                                 use_pallas=self.use_pallas_corr,
+                                 cfirst=corr_cfirst)
 
         flows = coords - coords[:, 0:1]  # (B,S,N,2)
         flows_bn = flows.transpose(0, 2, 1, 3)  # (B,N,S,2)
@@ -540,14 +672,22 @@ class BaseTrackerPredictor(nn.Module):
 
     def __call__(self, query_points, fmaps, iters: int = 4,
                  down_ratio: int = 1, return_feat: bool = False,
-                 matching_init: bool = False, matching_vis: bool = False):
-        """query_points (B, N, 2) pixels; fmaps (B, S, HH, WW, C).
+                 matching_init: bool = False, matching_vis: bool = False,
+                 fmaps_flat_hw: tuple | None = None):
+        """query_points (B, N, 2) pixels; fmaps (B, S, HH, WW, C) — or,
+        with ``fmaps_flat_hw=(HH, WW)``, flat channel-first
+        (B, S, C, HH*WW) (the fine path's copy-free layout).
 
         Returns (coord_predictions list, visibility (B, S, N) or None
         [, track_feats, query_feats]).
         """
         B, N, _ = query_points.shape
-        _, S, HH, WW, C = fmaps.shape
+        flat_hws = None
+        if fmaps_flat_hw is not None:
+            _, S, C, _ = fmaps.shape
+            HH, WW = fmaps_flat_hw
+        else:
+            _, S, HH, WW, C = fmaps.shape
         assert C == self.latent_dim
 
         fmaps = fmaps.astype(self.dtype)
@@ -555,18 +695,31 @@ class BaseTrackerPredictor(nn.Module):
         qp = query_points.astype(jnp.float32) / scale
         coords = jnp.broadcast_to(qp[:, None], (B, S, N, 2))
 
-        query_feats = sample_features4d(fmaps[:, 0], qp)
+        if fmaps_flat_hw is not None:
+            query_feats = _sample_flat(fmaps[:, 0], qp, (HH, WW))
+        else:
+            query_feats = sample_features4d(fmaps[:, 0], qp)
         track_feats = jnp.broadcast_to(query_feats[:, None], (B, S, N, C))
 
         match_cyc = None
         if matching_init:
-            coords, _, match_cyc = global_match_coords(
-                fmaps, query_feats, qp, cycle=matching_vis)
+            if fmaps_flat_hw is not None:
+                assert not matching_vis, \
+                    "cycle matching not supported on the flat fine path"
+                coords = _global_match_flat(fmaps, query_feats, qp,
+                                            (HH, WW))
+            else:
+                coords, _, match_cyc = global_match_coords(
+                    fmaps, query_feats, qp, cycle=matching_vis)
 
-        corr_cfirst = (self.fine and N == 1 and HH * WW <= 4096
-                       and C < 128)
-        pyramid = build_corr_pyramid(fmaps, self.corr_levels,
-                                     cfirst=corr_cfirst)
+        corr_cfirst = (fmaps_flat_hw is None and self.fine and N == 1
+                       and HH * WW <= 4096 and C < 128)
+        if fmaps_flat_hw is not None:
+            pyramid, flat_hws = build_corr_pyramid_flat(
+                fmaps, (HH, WW), self.corr_levels)
+        else:
+            pyramid = build_corr_pyramid(fmaps, self.corr_levels,
+                                         cfirst=corr_cfirst)
 
         tdim = self.transformer_dim
 
@@ -581,7 +734,7 @@ class BaseTrackerPredictor(nn.Module):
         invariants = (tuple(pyramid), sampled_pos, qp)
         if self.scan_iters and iters > 1:
             def body(mdl, carry, x):
-                return mdl._iter_step(carry, x, corr_cfirst)
+                return mdl._iter_step(carry, x, corr_cfirst, flat_hws)
 
             scanned = nn.scan(
                 body,
@@ -595,7 +748,8 @@ class BaseTrackerPredictor(nn.Module):
             coord_preds = []
             for _ in range(iters):
                 (coords, track_feats), pred = self._iter_step(
-                    (coords, track_feats), invariants, corr_cfirst)
+                    (coords, track_feats), invariants, corr_cfirst,
+                    flat_hws)
                 coord_preds.append(pred * scale)
 
         if not self.fine:
@@ -658,14 +812,15 @@ class TrackerPredictor(nn.Module):
         self.fine_predictor(pq, pf, iters=1)
         return track, vis
 
-    def apply_fine_fnet(self, patches):
-        return self.fine_fnet(patches)
+    def apply_fine_fnet(self, patches, flat_cfirst: bool = False):
+        return self.fine_fnet(patches, flat_cfirst=flat_cfirst)
 
     def apply_fine_predictor(self, query_points, fmaps, iters, return_feat,
-                             matching_init=False):
+                             matching_init=False, fmaps_flat_hw=None):
         return self.fine_predictor(query_points, fmaps, iters=iters,
                                    return_feat=return_feat,
-                                   matching_init=matching_init)
+                                   matching_init=matching_init,
+                                   fmaps_flat_hw=fmaps_flat_hw)
 
     def process_images_to_fmaps(self, images):
         """(B, S, H, W, 3) in [0,1] -> (B, S, H', W', 128) coarse features."""

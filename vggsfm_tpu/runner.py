@@ -274,17 +274,21 @@ class VGGSfMRunner:
 
         def fn(p, im, tr):
             def fnet(x):
-                return self.tracker.apply(p, x, method="apply_fine_fnet")
+                # flat channel-first output — see ShallowEncoder
+                return self.tracker.apply(p, x, True,
+                                          method="apply_fine_fnet")
 
-            def ftrack(q, f, iters, return_feat, matching_init):
+            def ftrack(q, f, iters, return_feat, matching_init,
+                       fmaps_flat_hw=None):
                 return self.tracker.apply(p, q, f, iters, return_feat,
-                                          matching_init,
+                                          matching_init, fmaps_flat_hw,
                                           method="apply_fine_predictor")
 
             return refine_track(im, fnet, ftrack, tr, compute_score=True,
                                 matching_init=minit,
                                 subpixel_refine=subpix,
-                                patch_dtype=self.tracker.dtype)
+                                patch_dtype=self.tracker.dtype,
+                                flat_fnet=True)
         return self._jitted("fine", fn)(params, images, coarse)
 
     def _camera_forward(self, images):
@@ -494,10 +498,13 @@ class VGGSfMRunner:
         # the (Q, S, H, W, C) fmap gather + Q-wide pyramid/cmap working
         # set spills HBM. Per-query calls keep the footprint bounded.)
         chunk = max(256, cfg.max_points_num // S)
-        # 2048-track cap: the remote TPU compiler crashes on the
-        # 4096-window fine program (tools/perf_probe_fine.py); the
-        # chunk count changes, results don't
-        fine_chunk = max(128, min(2048, cfg.max_fine_points_num // S))
+        # 4096-track cap: the old NHWC fine program OOMed the compiler
+        # at 4096 windows (a 7.5 GB 4x-padded layout-copy temp); the
+        # flat channel-first pipeline removed that tensor entirely and
+        # 4096 now measures slightly faster than 2x2048 with half the
+        # dispatches (tools/perf_probe_fine.py). Chunk count changes,
+        # results don't.
+        fine_chunk = max(128, min(4096, cfg.max_fine_points_num // S))
 
         inv_orders = np.argsort(orders, axis=1)
         all_track, all_vis, all_score = [], [], []
