@@ -482,6 +482,10 @@ def _bundle_adjust(
         return (it < cfg.max_iterations) & ~converged
 
     hist0 = jnp.full((cfg.max_iterations,), cost0, dtype)
+    # NOTE: while_loop makes the solver non-reverse-mode-differentiable —
+    # intentional for this inference framework (the early exit is worth
+    # 3x on converged solves); a training path through BA would need a
+    # bounded lax.scan variant instead.
     params, _, final_cost, cost_hist, n_iters, _ = jax.lax.while_loop(
         lm_cond, lm_step,
         (params0, jnp.asarray(cfg.lambda_init, dtype), cost0, hist0,

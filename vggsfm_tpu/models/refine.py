@@ -176,17 +176,34 @@ def ncc_subpixel_refine(images: jax.Array, coords: jax.Array,
     tmpl = tmpl * jax.lax.rsqrt(
         jnp.sum(tmpl * tmpl, axis=-1, keepdims=True) + 1e-8)
 
-    # gathered (wsz+2*search)^2 region at the rounded estimate, per frame
+    # gathered (wsz+2*search)^2 region at the rounded estimate, per frame.
+    # Tile-gather + one-hot selection (same machinery as patch
+    # extraction) when the frame shape allows: the per-tap
+    # take_along_axis was ~22 ms of scalar gathers per 16k-track call
+    # (profiler trace, tools/perf_profile_tracking.py). Border handling
+    # shifts the window inside the frame (vs per-tap edge clamping
+    # before) — the recovered position accounts for the shift via the
+    # returned topleft, and interior tracks are bit-identical.
     base = jnp.round(coords).astype(jnp.int32)  # (B, S, N, 2)
-    gy, gx = jnp.meshgrid(jnp.arange(-win - search, win + search + 1),
-                          jnp.arange(-win - search, win + search + 1),
-                          indexing="ij")
-    rx = jnp.clip(base[..., 0, None, None] + gx, 0, W - 1)
-    ry = jnp.clip(base[..., 1, None, None] + gy, 0, H - 1)
-    flat = gray.reshape(B * S, H * W)
-    idx = (ry * W + rx).reshape(B * S, N * gsz * gsz)
-    region = jnp.take_along_axis(flat, idx, axis=1).reshape(
-        B, S, N, gsz, gsz)
+    if H % 8 == 0 and W % 128 == 0:
+        tl_x = jnp.clip(base[..., 0] - (win + search), 0, W - gsz)
+        tl_y = jnp.clip(base[..., 1] - (win + search), 0, H - gsz)
+        region = _extract_patches_tiled(
+            gray[..., None], tl_x, tl_y, gsz)[..., 0]
+        # re-center: the NCC argmax below assumes the region's center
+        # (win+search, win+search) sits at `base`
+        base = jnp.stack([tl_x + win + search, tl_y + win + search],
+                         axis=-1)
+    else:
+        gy, gx = jnp.meshgrid(jnp.arange(-win - search, win + search + 1),
+                              jnp.arange(-win - search, win + search + 1),
+                              indexing="ij")
+        rx = jnp.clip(base[..., 0, None, None] + gx, 0, W - 1)
+        ry = jnp.clip(base[..., 1, None, None] + gy, 0, H - 1)
+        flat = gray.reshape(B * S, H * W)
+        idx = (ry * W + rx).reshape(B * S, N * gsz * gsz)
+        region = jnp.take_along_axis(flat, idx, axis=1).reshape(
+            B, S, N, gsz, gsz)
 
     # NCC over the (2*search+1)^2 offsets
     osz = 2 * search + 1

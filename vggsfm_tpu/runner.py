@@ -86,8 +86,12 @@ class RunnerConfig:
     max_points_num: int = 163840  # track-frames per coarse tracker call
     # fine tracking holds (psize^2 x C) patch features per track-frame —
     # budgeted separately for 16 GB HBM (the reference reuses one constant
-    # sized for 32-40 GB GPUs, runner.py:1079); ~1.5 GB peak per chunk
-    max_fine_points_num: int = 16384
+    # sized for 32-40 GB GPUs, runner.py:1079). The flat channel-first
+    # fine pipeline (~7% spatial padding instead of the NHWC layouts' 4x)
+    # fits 32768 track-frames per chunk: 4096-track calls at 8 frames,
+    # measured faster than 2x2048 with half the dispatches
+    # (tools/perf_probe_fine.py)
+    max_fine_points_num: int = 32768
     comple_nonvis: bool = True
     min_vis_points: int = 500
     # ensemble camera predictions over the query orderings (reference
@@ -312,6 +316,20 @@ class VGGSfMRunner:
             return self._jitted(name, fn)(image, key, seg_mask)
         return self._jitted(name, fn)(image, key)
 
+    def _query_points_batched(self, images_q, keys, method, max_pts):
+        """All query frames' keypoints in one vmapped jitted program.
+
+        images_q (Q, H, W, 3), keys (Q, 2) -> (qp (Q, max_pts, 2),
+        valid (Q, max_pts))."""
+        name = f"query_points_batched_{method}_{max_pts}_{images_q.shape[0]}"
+
+        def fn(ims, ks):
+            return jax.vmap(
+                lambda im, k: get_query_points(im, k, method, max_pts)
+            )(ims, ks)
+
+        return self._jitted(name, fn)(images_q, keys)
+
     def _load_depth_model(self):
         """Lazily build DepthAnything + params (converted checkpoint when
         available; random ViT-B otherwise). Parity: runner.py:133-162."""
@@ -471,24 +489,49 @@ class VGGSfMRunner:
         B, S = images.shape[:2]
         key = jax.random.PRNGKey(cfg.seed)
 
-        # per-query keypoints (all the same static shape)
+        # per-query keypoints (all the same static shape). Without
+        # segmentation masks, ALL query frames detect in ONE vmapped
+        # program — 8 separate per-frame calls cost 0.87 s of the
+        # matched bench (8 x ~109 ms, each paying its own dispatch +
+        # under-batched detector convs); the extractor stack is pure
+        # functional jax, so vmap over (frames, keys) is free.
         qps, qp_valids, orders = [], [], []
-        for qframe in query_indices:
-            key, sub = jax.random.split(key)
-            seg_mask = None
-            if masks is not None:
-                seg_mask = jnp.asarray(masks[qframe] > 0.5)
-            qp, qp_valid = self._query_points(
-                images[0, qframe], sub, query_method, max_query_pts,
-                seg_mask=seg_mask)
+        if masks is None and len(query_indices) > 1:
+            subkeys = []
+            for _ in query_indices:
+                key, sub = jax.random.split(key)
+                subkeys.append(sub)
+            qp_b, qv_b = self._query_points_batched(
+                images[0, np.asarray(query_indices)],
+                jnp.stack(subkeys), query_method, max_query_pts)
+            qps = list(qp_b)
+            qp_valids = list(qv_b)
+            for qframe in query_indices:
+                order = np.arange(S)
+                order[0], order[qframe] = qframe, 0
+                orders.append(order)
             if self.cfg.visual_query_points:
-                self._query_point_log.append(
-                    (int(qframe), np.asarray(qp), np.asarray(qp_valid)))
-            order = np.arange(S)
-            order[0], order[qframe] = qframe, 0
-            qps.append(qp)
-            qp_valids.append(qp_valid)
-            orders.append(order)
+                for i, qframe in enumerate(query_indices):
+                    self._query_point_log.append(
+                        (int(qframe), np.asarray(qps[i]),
+                         np.asarray(qp_valids[i])))
+        else:
+            for qframe in query_indices:
+                key, sub = jax.random.split(key)
+                seg_mask = None
+                if masks is not None:
+                    seg_mask = jnp.asarray(masks[qframe] > 0.5)
+                qp, qp_valid = self._query_points(
+                    images[0, qframe], sub, query_method, max_query_pts,
+                    seg_mask=seg_mask)
+                if self.cfg.visual_query_points:
+                    self._query_point_log.append(
+                        (int(qframe), np.asarray(qp), np.asarray(qp_valid)))
+                order = np.arange(S)
+                order[0], order[qframe] = qframe, 0
+                qps.append(qp)
+                qp_valids.append(qp_valid)
+                orders.append(order)
         orders = np.stack(orders)  # (Q, S)
         Q = orders.shape[0]
 
