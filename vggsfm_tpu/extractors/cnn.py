@@ -52,8 +52,15 @@ def load_aliked_params():
             params = jax.tree.map(jnp.asarray,
                                   convert_aliked_checkpoint(_load_torch(path)))
         else:
-            params = jax.jit(model.init)(
-                jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+            # ensure_compile_time_eval: the first load may happen inside
+            # an enclosing jit trace (the runner jits the whole query
+            # extraction); without it the init would (a) cache TRACERS,
+            # poisoning every later program (UnexpectedTracerError), and
+            # (b) inline the full random conv init into the compiled
+            # program, re-running it on every execution.
+            with jax.ensure_compile_time_eval():
+                params = jax.jit(model.init)(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
         _CACHE["aliked_params"] = params
     return _CACHE["aliked_params"]
 
@@ -66,8 +73,9 @@ def load_superpoint_params():
             params = jax.tree.map(
                 jnp.asarray, convert_superpoint_checkpoint(_load_torch(path)))
         else:
-            params = jax.jit(model.init)(
-                jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))
+            with jax.ensure_compile_time_eval():  # see load_aliked_params
+                params = jax.jit(model.init)(
+                    jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))
         _CACHE["superpoint_params"] = params
     return _CACHE["superpoint_params"]
 
@@ -111,9 +119,10 @@ def load_sddh_params():
                for k in sd):
             params = jax.tree.map(jnp.asarray, convert_sddh_checkpoint(sd))
         else:
-            params = jax.jit(SDDH().init)(
-                jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 128)),
-                jnp.zeros((1, 4, 2)))
+            with jax.ensure_compile_time_eval():  # see load_aliked_params
+                params = jax.jit(SDDH().init)(
+                    jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 128)),
+                    jnp.zeros((1, 4, 2)))
         _CACHE["sddh_params"] = params
     return _CACHE["sddh_params"]
 

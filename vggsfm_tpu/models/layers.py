@@ -80,18 +80,59 @@ class TorchMultiheadAttention(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Linear -> GELU -> Linear (timm-style). Parity: modules.py:119-154."""
+    """Linear -> GELU -> Linear (timm-style). Parity: modules.py:119-154.
+
+    Params are declared as dict-valued leaves with the exact
+    ``fc1/{kernel,bias}`` / ``fc2/{kernel,bias}`` paths nn.Dense would
+    create (same trick as TorchMultiheadAttention's packed ``in_proj``),
+    so checkpoints convert identically — while the raw arrays stay
+    accessible for the fused LN+MLP+residual Pallas path.
+    """
 
     hidden_features: int
     out_features: int
     dtype: Dtype = jnp.float32
 
+    def _params(self, in_dim):
+        def mk(key, shape, dt):
+            return {"kernel": nn.initializers.lecun_normal()(
+                        key, shape, dt),
+                    "bias": jnp.zeros((shape[1],), dt)}
+
+        fc1 = self.param("fc1", mk, (in_dim, self.hidden_features),
+                         jnp.float32)
+        fc2 = self.param("fc2", mk, (self.hidden_features,
+                                     self.out_features), jnp.float32)
+        return fc1, fc2
+
     @nn.compact
-    def __call__(self, x):
-        x = nn.Dense(self.hidden_features, name="fc1", dtype=self.dtype)(x)
-        x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.out_features, name="fc2",
-                        dtype=self.dtype)(x)
+    def __call__(self, x, ln_residual: bool = False):
+        """Plain MLP — or, with ``ln_residual``, the whole transformer
+        tail ``x + fc2(gelu(fc1(LN(x))))`` (LN eps 1e-6, no affine),
+        fused into one Pallas kernel on TPU (the (rows, 4C) hidden
+        activations never touch HBM; see ops/fused_mlp.py)."""
+        fc1, fc2 = self._params(x.shape[-1])
+        k1 = fc1["kernel"].astype(self.dtype)
+        b1 = fc1["bias"].astype(self.dtype)
+        k2 = fc2["kernel"].astype(self.dtype)
+        b2 = fc2["bias"].astype(self.dtype)
+        if not ln_residual:
+            h = nn.gelu(x @ k1 + b1, approximate=False)
+            return h @ k2 + b2
+        lead = x.shape[:-1]
+        C = x.shape[-1]
+        x2 = x.reshape(-1, C)
+        if jax.default_backend() == "tpu" and C % 128 == 0 \
+                and self.hidden_features % 128 == 0:
+            from vggsfm_tpu.ops.fused_mlp import fused_ln_mlp
+
+            return fused_ln_mlp(x2, k1, b1, k2, b2).reshape(
+                lead + (self.out_features,))
+        mean = jnp.mean(x2.astype(jnp.float32), -1, keepdims=True)
+        var = jnp.var(x2.astype(jnp.float32), -1, keepdims=True)
+        xn = ((x2 - mean) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+        h = nn.gelu(xn @ k1 + b1, approximate=False)
+        return (x2 + (h @ k2 + b2)).reshape(lead + (self.out_features,))
 
 
 class AttnBlock(nn.Module):
@@ -109,10 +150,11 @@ class AttnBlock(nn.Module):
         x = x + TorchMultiheadAttention(
             self.hidden_size, self.num_heads, name="attn",
             dtype=self.dtype)(x, x, x)
-        y = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                         name="norm2", dtype=self.dtype)(x)
-        return x + Mlp(int(self.hidden_size * self.mlp_ratio),
-                       self.hidden_size, name="mlp", dtype=self.dtype)(y)
+        # norm2 + MLP + residual fuse into one kernel (ops/fused_mlp.py);
+        # norm2 has no parameters, so the param tree is unchanged
+        return Mlp(int(self.hidden_size * self.mlp_ratio),
+                   self.hidden_size, name="mlp", dtype=self.dtype)(
+                       x, ln_residual=True)
 
 
 class CrossAttnBlock(nn.Module):
@@ -132,10 +174,9 @@ class CrossAttnBlock(nn.Module):
         x = x + TorchMultiheadAttention(
             self.hidden_size, self.num_heads, name="cross_attn",
             dtype=self.dtype)(x, context, context)
-        y = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                         name="norm2", dtype=self.dtype)(x)
-        return x + Mlp(int(self.hidden_size * self.mlp_ratio),
-                       self.hidden_size, name="mlp", dtype=self.dtype)(y)
+        return Mlp(int(self.hidden_size * self.mlp_ratio),
+                   self.hidden_size, name="mlp", dtype=self.dtype)(
+                       x, ln_residual=True)
 
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:

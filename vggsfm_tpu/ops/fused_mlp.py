@@ -1,0 +1,92 @@
+"""Fused LayerNorm -> fc1 -> GELU -> fc2 -> +residual Pallas kernel.
+
+Every transformer block in the tracker/camera formers ends with
+``x + Mlp(LN(x))`` where the MLP widens 4x (384 -> 1536 -> 384). Under
+XLA the (rows, 4C) intermediate roundtrips HBM between fc1 and fc2
+(~100 MB per coarse-former block apply) and the LN runs as its own
+pass; profiled marginal cost ~3.3 ms per block at the coarse shapes vs
+~0.6 ms of flops+mandatory-traffic (tools/perf_probe_former.py). This
+kernel keeps the hidden activations in VMEM: one read of x, one write
+of the result, weights resident.
+
+Numerics: LN statistics and both matmul accumulations in f32 (slightly
+MORE precise than the XLA bf16 path, which casts fc1's output to bf16);
+exact (erf) GELU, matching ``nn.gelu(approximate=False)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf, |err| < 1.5e-7 — Mosaic
+    has no erf/erfc primitive; 1.5e-7 is far below bf16 activation
+    noise and ~f32 roundoff for gelu's use."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[:]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=1, keepdims=True)
+    xn = ((x32 - mean) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0].astype(jnp.float32)
+    h = _gelu_exact(h).astype(x.dtype)
+    y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    y = y + b2_ref[0].astype(jnp.float32)
+    o_ref[:] = (y + x32).astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def fused_ln_mlp(x, w1, b1, w2, b2, block_rows: int = 1024,
+                 interpret: bool = False):
+    """x + fc2(gelu(fc1(LN(x)))) with LN eps 1e-6, no LN affine.
+
+    Args:
+      x: (R, C) activations (bf16 or f32), C a multiple of 128.
+      w1 (C, M), b1 (M,), w2 (M, C), b2 (C,): MLP parameters.
+
+    Returns (R, C) in x.dtype.
+    """
+    R, C = x.shape
+    M = w1.shape[1]
+    BR = min(block_rows, max(8, R))
+    pad = (-R) % BR
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    Rp = R + pad
+    dt = x.dtype
+    out = pl.pallas_call(
+        _kernel,
+        grid=(Rp // BR,),
+        in_specs=[
+            pl.BlockSpec((BR, C), lambda i: (i, 0)),
+            pl.BlockSpec((C, M), lambda i: (0, 0)),
+            pl.BlockSpec((1, M), lambda i: (0, 0)),
+            pl.BlockSpec((M, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BR, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Rp, C), dt),
+        interpret=interpret,
+    )(x, w1.astype(dt), b1.reshape(1, M).astype(dt),
+      w2.astype(dt), b2.reshape(1, C).astype(dt))
+    return out[:R] if pad else out
