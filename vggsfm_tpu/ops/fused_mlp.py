@@ -56,7 +56,7 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
-def fused_ln_mlp(x, w1, b1, w2, b2, block_rows: int = 1024,
+def fused_ln_mlp(x, w1, b1, w2, b2, block_rows: int | None = None,
                  interpret: bool = False):
     """x + fc2(gelu(fc1(LN(x)))) with LN eps 1e-6, no LN affine.
 
@@ -68,6 +68,16 @@ def fused_ln_mlp(x, w1, b1, w2, b2, block_rows: int = 1024,
     """
     R, C = x.shape
     M = w1.shape[1]
+    if block_rows is None:
+        # fit the resident weights + per-row activations (x bf16 +
+        # f32 copy, hidden f32 + bf16, f32 output) in ~12 MB of the
+        # 16 MB VMEM: the camera former's 768->3072 blocks OOMed a
+        # fixed 1024-row block (16.33 MB scoped allocation)
+        weights = 2 * C * M * 2
+        per_row = C * 10 + M * 6
+        budget = max(12 * 2**20 - weights, 2**20)
+        block_rows = 1 << max(7, min(10, (budget // per_row)
+                                     .bit_length() - 1))
     BR = min(block_rows, max(8, R))
     pad = (-R) % BR
     if pad:
