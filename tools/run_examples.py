@@ -16,10 +16,12 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
+import sys
 import time
 
 REF = pathlib.Path("/root/reference/examples")
 REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 
 
 def reprojection_errors(pred):

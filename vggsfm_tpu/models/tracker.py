@@ -480,8 +480,24 @@ def global_match_coords(fmaps: jax.Array, query_feats: jax.Array,
         d = jnp.linalg.norm(back_xy - qp.astype(jnp.float32), axis=-1)
         return xy, c0, d
 
-    coords, conf, cyc = jax.lax.map(one_frame,
-                                    fmaps.transpose(1, 0, 2, 3, 4))
+    # frames matched in memory-bounded batches: the (chunk, B, N, H*W)
+    # f32 correlation transient is the constraint (~268 MB per frame at
+    # the matched workload) — a fully serial per-frame lax.map left the
+    # MXU idle between 8 small dispatch-bound steps, while one vmapped
+    # chunk is a single large GEMM. ~2 GB transient budget.
+    per_frame = N * H * W * 4
+    fchunk = max(1, min(S, (1 << 31) // max(per_frame, 1)))
+    fmaps_sf = fmaps.transpose(1, 0, 2, 3, 4)  # (S, B, H, W, C)
+    pad_s = (-S) % fchunk
+    if pad_s:
+        fmaps_sf = jnp.concatenate(
+            [fmaps_sf, jnp.repeat(fmaps_sf[-1:], pad_s, axis=0)], axis=0)
+    fmaps_c = fmaps_sf.reshape((S + pad_s) // fchunk, fchunk,
+                               *fmaps_sf.shape[1:])
+    coords, conf, cyc = jax.lax.map(jax.vmap(one_frame), fmaps_c)
+    coords = coords.reshape(S + pad_s, B, N, 2)[:S]
+    conf = conf.reshape(S + pad_s, B, N)[:S]
+    cyc = cyc.reshape(S + pad_s, B, N)[:S]
     coords = coords.transpose(1, 0, 2, 3)  # (B, S, N, 2)
     conf = conf.transpose(1, 0, 2)  # (B, S, N)
     coords = coords.at[:, 0].set(qp.astype(jnp.float32))
