@@ -159,9 +159,21 @@ def _run_config(scene, reps, measure_mfu=False, **overrides):
         tr_fl, tr_s = _agg(tracker)
         ba_fl, ba_s = _agg(ba)
         dev = jax.devices()[0]
+        # dispatch floor: the SYNC pass times each call with a one-element
+        # device->host pull, so every entry carries one tunnel round trip
+        # (measured 30-430 ms depending on tunnel health) — small entries
+        # read as floor, not compute; report the floor for interpretation
+        tiny = jax.jit(lambda x: x + 1.0)
+        np.asarray(tiny(jnp.zeros((8,))))
+        floors = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(tiny(jnp.zeros((8,))))
+            floors.append(time.time() - t0)
         stats["mfu"] = {
             "device_kind": getattr(dev, "device_kind", "unknown"),
             "peak_bf16_flops": mfu.peak_flops(dev),
+            "dispatch_floor_s": round(min(floors), 4),
             "sync_rep_total_s": round(sync_total, 3),
             "per_computation": {
                 k: {kk: (round(vv, 4) if isinstance(vv, float) else vv)
