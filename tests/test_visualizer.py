@@ -25,7 +25,11 @@ class TestVisualizer:
         tracks = rng.uniform(5, 43, size=(S, N, 2)).astype(np.float32)
         vis = np.ones((S, N), np.float32)
         paths = visualize_tracks(images, tracks, vis, str(tmp_path))
-        assert len(paths) == S + 1  # pngs + gif
+        # pngs + gif, and an mp4 when a cv2 codec is available
+        assert len(paths) in (S + 1, S + 2)
+        if len(paths) == S + 2:
+            assert paths[-1].endswith((".mp4", ".avi"))
+            assert os.path.getsize(paths[-1]) > 0
         assert all(os.path.exists(p) for p in paths)
 
     def test_visualize_reprojections(self, tmp_path, rng):
@@ -38,4 +42,6 @@ class TestVisualizer:
                     (S, 1, 1))
         paths = visualize_reprojections(images, tracks, pts, extr, K,
                                         np.ones(N, bool), str(tmp_path))
-        assert len(paths) == S
+        assert len(paths) in (S, S + 1)  # + reproj video if codec
+        if len(paths) == S + 1:
+            assert paths[-1].endswith((".mp4", ".avi"))

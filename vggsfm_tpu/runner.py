@@ -151,7 +151,7 @@ class RunnerConfig:
     # (reference visual_tracks, cfgs/demo.yaml:35)
     visual_tracks: bool = False
     # write reprojection overlays to OUT/visuals (reference
-    # make_reproj_video; PNG frames — no video codec in this env)
+    # make_reproj_video: PNG frames + mp4 via cv2 VideoWriter)
     make_reproj_frames: bool = False
     # SfM camera initialization: 'neural' (camera predictor, the reference's
     # only mode), 'twoview' (chained essential-matrix poses from the

@@ -1,11 +1,12 @@
-"""Track visualization (PIL-based, no cv2/matplotlib dependency).
+"""Track visualization: PNG frames, animated GIF, and mp4 video.
 
 Parity: vggsfm/utils/visualizer.py:62-371 draws tracked points on each
 frame and writes an mp4; here frames render through PIL with
-rainbow-indexed track colors and export as per-frame PNGs or an animated
-GIF (every viewer opens those; mp4 encoding needs codecs this image lacks).
-Also covers the reprojection overlay of utils/utils.py:428-571: projected
-3D points drawn against their 2D tracks.
+rainbow-indexed track colors, export as per-frame PNGs + an animated
+GIF, and — when OpenCV's VideoWriter has a working codec (mp4v verified
+in this image; MJPG .avi as fallback) — the reference's mp4 as well.
+Also covers the reprojection overlay of utils/utils.py:428-571:
+projected 3D points drawn against their 2D tracks.
 """
 
 from __future__ import annotations
@@ -13,6 +14,35 @@ from __future__ import annotations
 import os
 
 import numpy as np
+
+
+def write_video(frames: list, path: str, fps: int = 5) -> str | None:
+    """Encode RGB uint8 frames to video via cv2.VideoWriter.
+
+    Tries the container/codec implied by `path` (mp4 -> mp4v), falls
+    back to MJPG .avi, returns the written path or None when no codec
+    is available (callers always also have PNG/GIF outputs).
+    """
+    if not frames:
+        return None
+    try:
+        import cv2
+    except ImportError:
+        return None
+    h, w = frames[0].shape[:2]
+    candidates = [(path, "mp4v" if path.endswith(".mp4") else "MJPG")]
+    if path.endswith(".mp4"):
+        candidates.append((path[:-4] + ".avi", "MJPG"))
+    for p, codec in candidates:
+        vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*codec), fps,
+                             (w, h))
+        if not vw.isOpened():
+            continue
+        for f in frames:
+            vw.write(f[..., ::-1])  # RGB -> BGR
+        vw.release()
+        return p
+    return None
 
 
 def _colormap(n: int) -> np.ndarray:
@@ -73,8 +103,9 @@ def visualize_tracks(images: np.ndarray, tracks: np.ndarray,
       images: (S, H, W, 3) float [0,1] or uint8.
       tracks: (S, N, 2); visibility: optional (S, N).
 
-    Writes `<prefix>_####.png` per frame (+ `<prefix>.gif`); returns the
-    written paths.
+    Writes `<prefix>_####.png` per frame, `<prefix>.gif`, and
+    `<prefix>.mp4` (reference parity, visualizer.py:87-135; skipped only
+    if no cv2 codec works); returns the written paths.
     """
     from PIL import Image
 
@@ -96,12 +127,16 @@ def visualize_tracks(images: np.ndarray, tracks: np.ndarray,
         p = os.path.join(output_dir, f"{prefix}_{s:04d}.png")
         Image.fromarray(frame).save(p)
         paths.append(p)
-        frames.append(Image.fromarray(frame))
+        frames.append(frame)
     if gif and frames:
         gp = os.path.join(output_dir, f"{prefix}.gif")
-        frames[0].save(gp, save_all=True, append_images=frames[1:],
-                       duration=200, loop=0)
+        pil = [Image.fromarray(f) for f in frames]
+        pil[0].save(gp, save_all=True, append_images=pil[1:],
+                    duration=200, loop=0)
         paths.append(gp)
+    vp = write_video(frames, os.path.join(output_dir, f"{prefix}.mp4"))
+    if vp:
+        paths.append(vp)
     return paths
 
 
@@ -135,6 +170,7 @@ def visualize_reprojections(images: np.ndarray, tracks: np.ndarray,
 
     os.makedirs(output_dir, exist_ok=True)
     paths = []
+    frames = []
     for s in range(S):
         frame = draw_points(imgs[s], tracks[s, :N], colors,
                             valid=np.asarray(valid_tracks[:N]))
@@ -143,4 +179,9 @@ def visualize_reprojections(images: np.ndarray, tracks: np.ndarray,
         p = os.path.join(output_dir, f"reproj_{s:04d}.png")
         Image.fromarray(frame).save(p)
         paths.append(p)
+        frames.append(frame)
+    # the reference's reprojection VIDEO (utils/utils.py:428-571)
+    vp = write_video(frames, os.path.join(output_dir, "reproj.mp4"))
+    if vp:
+        paths.append(vp)
     return paths
