@@ -24,59 +24,98 @@ Dtype = Any
 class TorchMultiheadAttention(nn.Module):
     """Multi-head attention matching torch.nn.MultiheadAttention layout.
 
-    Parameters: `in_proj` Dense(3*dim) (packed q|k|v) and `out_proj`.
-    Inputs are (B, L, C) (batch_first).
+    Parameters: `in_proj` Dense(3*dim) (packed q|k|v) and `out_proj` —
+    both declared as dict-valued params at the exact nn.Dense paths, so
+    checkpoints convert identically while the raw arrays stay available
+    for the fused self-attention Pallas path. Inputs are (B, L, C)
+    (batch_first).
     """
 
     dim: int
     num_heads: int
     dtype: Dtype = jnp.float32
 
+    def _params(self, in_dim):
+        def mk(key, shape, dt):
+            return {"kernel": nn.initializers.lecun_normal()(
+                        key, shape, dt),
+                    "bias": jnp.zeros((shape[1],), dt)}
+
+        w = self.param("in_proj", mk, (in_dim, 3 * self.dim), jnp.float32)
+        wo = self.param("out_proj", mk, (self.dim, self.dim), jnp.float32)
+        return w, wo
+
     @nn.compact
-    def __call__(self, q, k, v):
+    def __call__(self, q, k, v, fused_ln_self: bool = False):
+        """Standard MHA — or, with ``fused_ln_self`` (self-attention
+        only), the whole pre-LN attention half ``LN(x) + out_proj(
+        attn(LN(x)))`` as one Pallas kernel (q is the RAW block input;
+        k/v are ignored). Falls back to the reference jnp path off-TPU
+        or for long sequences."""
         H = self.num_heads
         D = self.dim // H
-        # packed q|k|v projection, parameter-compatible with both
-        # nn.Dense {kernel, bias} and torch's in_proj_weight — but applied
-        # via explicit kernel SLICES so cross attention only computes the
-        # projections it uses (calling the full Dense on q, k, and v
-        # separately tripled the projection FLOPs on the large token set)
-        w = self.param(
-            "in_proj",
-            lambda key, shape, dt: {
-                "kernel": nn.initializers.lecun_normal()(
-                    key, shape, dt),
-                "bias": jnp.zeros((shape[1],), dt)},
-            (q.shape[-1], 3 * self.dim), jnp.float32)
+        w, wo = self._params(q.shape[-1])
         kernel = w["kernel"].astype(self.dtype)
         bias = w["bias"].astype(self.dtype)
+        out_k = wo["kernel"].astype(self.dtype)
+        out_b = wo["bias"].astype(self.dtype)
 
-        def proj(x, lo, hi):
-            return x @ kernel[:, lo:hi] + bias[lo:hi]
+        def plain(q, k, v):
+            # packed q|k|v projection applied via explicit kernel SLICES
+            # so cross attention only computes the projections it uses
+            # (calling the full Dense on q, k, and v separately tripled
+            # the projection FLOPs on the large token set)
+            def proj(x, lo, hi):
+                return x @ kernel[:, lo:hi] + bias[lo:hi]
 
-        if q is k and k is v:
-            xq, xk, xv = jnp.split(proj(q, 0, 3 * self.dim), 3, axis=-1)
-        else:
-            xq = proj(q, 0, self.dim)
-            xk = proj(k, self.dim, 2 * self.dim)
-            xv = proj(v, 2 * self.dim, 3 * self.dim)
+            if q is k and k is v:
+                xq, xk, xv = jnp.split(proj(q, 0, 3 * self.dim), 3,
+                                       axis=-1)
+            else:
+                xq = proj(q, 0, self.dim)
+                xk = proj(k, self.dim, 2 * self.dim)
+                xv = proj(v, 2 * self.dim, 3 * self.dim)
 
-        # attention in (B, L, H, D) layout end-to-end: the head axis is a
-        # dot_general batch dim, so no materialized head-split/merge
-        # transposes (they showed up as ~64 ms of pure copies per coarse
-        # call in the profiler trace)
-        def split_heads(x):
-            B, L, _ = x.shape
-            return x.reshape(B, L, H, D)
+            # attention in (B, L, H, D) layout end-to-end: the head axis
+            # is a dot_general batch dim, so no materialized head-split/
+            # merge transposes (they showed up as ~64 ms of pure copies
+            # per coarse call in the profiler trace)
+            def split_heads(x):
+                B, L, _ = x.shape
+                return x.reshape(B, L, H, D)
 
-        xq, xk, xv = split_heads(xq), split_heads(xk), split_heads(xv)
-        # softmax in f32 for numerical stability under low precision
-        attn = jnp.einsum("bqhd,bkhd->bhqk", xq, xk).astype(jnp.float32)
-        attn = jax.nn.softmax(attn / jnp.sqrt(D), axis=-1).astype(xv.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, xv)
-        B, L = out.shape[0], out.shape[1]
-        out = out.reshape(B, L, self.dim)
-        return nn.Dense(self.dim, name="out_proj", dtype=self.dtype)(out)
+            xq, xk, xv = split_heads(xq), split_heads(xk), split_heads(xv)
+            # softmax in f32 for numerical stability under low precision
+            attn = jnp.einsum("bqhd,bkhd->bhqk", xq, xk).astype(
+                jnp.float32)
+            attn = jax.nn.softmax(attn / jnp.sqrt(D), axis=-1).astype(
+                xv.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, xv)
+            B, L = out.shape[0], out.shape[1]
+            out = out.reshape(B, L, self.dim)
+            return out @ out_k + out_b
+
+        if not fused_ln_self:
+            return plain(q, k, v)
+
+        B, L, C = q.shape
+        # resident-weight fit: at f32 (the camera former's tokens promote
+        # to f32 via the sincos pos-embed) a 768-wide block's weights
+        # alone exceed the 16 MB VMEM — fall back to the jnp path then
+        weights_bytes = (kernel.size + out_k.size) * q.dtype.itemsize
+        if jax.default_backend() == "tpu" and C % 128 == 0 and L <= 64 \
+                and weights_bytes <= 11 * 2**20:
+            from vggsfm_tpu.ops.fused_mlp import fused_ln_attn
+
+            return fused_ln_attn(
+                q.reshape(B * L, C), kernel, bias, out_k, out_b,
+                L, H).reshape(B, L, C)
+        # reference path: LN then self-attention then LN'd residual
+        x32 = q.astype(jnp.float32)
+        mean = jnp.mean(x32, -1, keepdims=True)
+        var = jnp.var(x32, -1, keepdims=True)
+        xn = ((x32 - mean) * jax.lax.rsqrt(var + 1e-6)).astype(q.dtype)
+        return xn + plain(xn, xn, xn)
 
 
 class Mlp(nn.Module):
@@ -122,8 +161,12 @@ class Mlp(nn.Module):
         lead = x.shape[:-1]
         C = x.shape[-1]
         x2 = x.reshape(-1, C)
+        # resident-weight fit: f32 tokens (camera former) with M = 3072
+        # put ~19 MB of weights in VMEM — jnp fallback there
+        weights_bytes = (k1.size + k2.size) * x.dtype.itemsize
         if jax.default_backend() == "tpu" and C % 128 == 0 \
-                and self.hidden_features % 128 == 0:
+                and self.hidden_features % 128 == 0 \
+                and weights_bytes <= 11 * 2**20:
             from vggsfm_tpu.ops.fused_mlp import fused_ln_mlp
 
             return fused_ln_mlp(x2, k1, b1, k2, b2).reshape(
@@ -145,13 +188,13 @@ class AttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                         name="norm1", dtype=self.dtype)(x)
-        x = x + TorchMultiheadAttention(
+        # both block halves run as fused Pallas kernels on TPU: norm1 +
+        # QKV + attention + out-proj + residual (fused_ln_self — the
+        # parameterless norm1 folds into the attention kernel), then
+        # norm2 + MLP + residual (Mlp ln_residual). Param tree unchanged.
+        x = TorchMultiheadAttention(
             self.hidden_size, self.num_heads, name="attn",
-            dtype=self.dtype)(x, x, x)
-        # norm2 + MLP + residual fuse into one kernel (ops/fused_mlp.py);
-        # norm2 has no parameters, so the param tree is unchanged
+            dtype=self.dtype)(x, x, x, fused_ln_self=True)
         return Mlp(int(self.hidden_size * self.mlp_ratio),
                    self.hidden_size, name="mlp", dtype=self.dtype)(
                        x, ln_residual=True)

@@ -55,6 +55,101 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[:] = (y + x32).astype(x.dtype)
 
 
+def _attn_kernel(x_ref, wi_ref, bi_ref, wo_ref, bo_ref, o_ref, *,
+                 L: int, H: int):
+    x = x_ref[:]
+    R, C = x.shape
+    D = C // H
+    TB = R // L
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=1, keepdims=True)
+    xn32 = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
+    xn = xn32.astype(x.dtype)
+    qkv = jnp.dot(xn, wi_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bi_ref[0].astype(jnp.float32)).astype(x.dtype)
+    q = qkv[:, :C]
+    k = qkv[:, C:2 * C]
+    v = qkv[:, 2 * C:]
+    heads = []
+    scale = 1.0 / (D ** 0.5)
+    for h in range(H):
+        qh = q[:, h * D:(h + 1) * D].reshape(TB, L, D)
+        kh = k[:, h * D:(h + 1) * D].reshape(TB, L, D)
+        vh = v[:, h * D:(h + 1) * D].reshape(TB, L, D)
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s * scale, axis=-1).astype(x.dtype)
+        oh = jax.lax.dot_general(p, vh, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        heads.append(oh.astype(x.dtype).reshape(R, D))
+    att = jnp.concatenate(heads, axis=1)
+    y = jnp.dot(att, wo_ref[:], preferred_element_type=jnp.float32)
+    y = y + bo_ref[0].astype(jnp.float32)
+    # residual base is the NORMALIZED input (reference applies norm1
+    # in-place before the residual add — see models/layers.py)
+    o_ref[:] = (xn32 + y).astype(x.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seq_len", "num_heads", "block_rows",
+                                    "interpret"))
+def fused_ln_attn(x, w_in, b_in, w_out, b_out, seq_len: int,
+                  num_heads: int, block_rows: int | None = None,
+                  interpret: bool = False):
+    """LN -> packed QKV -> per-track softmax attention -> out-proj ->
+    +LN'd residual, fused into one kernel.
+
+    Covers the self-attention half of a pre-LN transformer block for
+    SHORT sequences: x is (B*seq_len, C) with each track's `seq_len`
+    tokens contiguous (the update former's time-attention layout), and
+    attention runs within each track only. The 48-wide head slices +
+    per-head batched dots were feasibility-verified on-chip
+    (tools/perf_probe_attn_kernel.py). f32 LN statistics, matmul
+    accumulations, and softmax (torch-MHA parity).
+
+    Args:
+      x: (R, C), R a multiple of seq_len, C a multiple of 128.
+      w_in (C, 3C), b_in (3C,): packed q|k|v projection.
+      w_out (C, C), b_out (C,): output projection.
+    """
+    R, C = x.shape
+    L = seq_len
+    if block_rows is None:
+        # resident weights + x/xn/qkv/att activations within ~12 MB VMEM
+        item = jnp.dtype(x.dtype).itemsize
+        weights = (3 * C * C + C * C) * item
+        # per-row live set: x + f32 copy + f32 LN copy, the 3C-wide QKV
+        # f32 accumulator + cast, att + f32 out-proj accumulator
+        per_row = C * (22 + 6 * item)
+        budget = max(11 * 2**20 - weights, 2**20)
+        block_rows = 1 << max(7, min(11, (budget // per_row)
+                                     .bit_length() - 1))
+    BR = max(L, (min(block_rows, R) // L) * L)
+    pad = (-R) % BR
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    Rp = R + pad
+    dt = x.dtype
+    kern = functools.partial(_attn_kernel, L=L, H=num_heads)
+    out = pl.pallas_call(
+        kern,
+        grid=(Rp // BR,),
+        in_specs=[
+            pl.BlockSpec((BR, C), lambda i: (i, 0)),
+            pl.BlockSpec((C, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BR, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Rp, C), dt),
+        interpret=interpret,
+    )(x, w_in.astype(dt), b_in.reshape(1, 3 * C).astype(dt),
+      w_out.astype(dt), b_out.reshape(1, C).astype(dt))
+    return out[:R] if pad else out
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def fused_ln_mlp(x, w1, b1, w2, b2, block_rows: int | None = None,
                  interpret: bool = False):
@@ -69,12 +164,13 @@ def fused_ln_mlp(x, w1, b1, w2, b2, block_rows: int | None = None,
     R, C = x.shape
     M = w1.shape[1]
     if block_rows is None:
-        # fit the resident weights + per-row activations (x bf16 +
-        # f32 copy, hidden f32 + bf16, f32 output) in ~12 MB of the
-        # 16 MB VMEM: the camera former's 768->3072 blocks OOMed a
-        # fixed 1024-row block (16.33 MB scoped allocation)
-        weights = 2 * C * M * 2
-        per_row = C * 10 + M * 6
+        # fit the resident weights + per-row activations (x + f32 copy,
+        # hidden f32 + working copy, f32 output) in ~12 MB of the 16 MB
+        # VMEM: the camera former's 768->3072 blocks OOMed a fixed
+        # 1024-row block (16.33 MB scoped allocation)
+        item = jnp.dtype(x.dtype).itemsize
+        weights = 2 * C * M * item
+        per_row = C * (8 + item) + M * (4 + item)
         budget = max(12 * 2**20 - weights, 2**20)
         block_rows = 1 << max(7, min(10, (budget // per_row)
                                      .bit_length() - 1))
