@@ -35,6 +35,7 @@ class TorchMultiheadAttention(nn.Module):
     num_heads: int
     dtype: Dtype = jnp.float32
 
+    @nn.compact
     def _params(self, in_dim):
         def mk(key, shape, dt):
             return {"kernel": nn.initializers.lecun_normal()(
@@ -45,7 +46,6 @@ class TorchMultiheadAttention(nn.Module):
         wo = self.param("out_proj", mk, (self.dim, self.dim), jnp.float32)
         return w, wo
 
-    @nn.compact
     def __call__(self, q, k, v, fused_ln_self: bool = False):
         """Standard MHA — or, with ``fused_ln_self`` (self-attention
         only), the whole pre-LN attention half ``LN(x) + out_proj(
@@ -132,6 +132,7 @@ class Mlp(nn.Module):
     out_features: int
     dtype: Dtype = jnp.float32
 
+    @nn.compact
     def _params(self, in_dim):
         def mk(key, shape, dt):
             return {"kernel": nn.initializers.lecun_normal()(
@@ -144,7 +145,6 @@ class Mlp(nn.Module):
                                      self.out_features), jnp.float32)
         return fc1, fc2
 
-    @nn.compact
     def __call__(self, x, ln_residual: bool = False):
         """Plain MLP — or, with ``ln_residual``, the whole transformer
         tail ``x + fc2(gelu(fc1(LN(x))))`` (LN eps 1e-6, no affine),
@@ -188,16 +188,38 @@ class AttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # both block halves run as fused Pallas kernels on TPU: norm1 +
-        # QKV + attention + out-proj + residual (fused_ln_self — the
-        # parameterless norm1 folds into the attention kernel), then
-        # norm2 + MLP + residual (Mlp ln_residual). Param tree unchanged.
-        x = TorchMultiheadAttention(
+        # the whole block runs as ONE fused Pallas kernel on TPU (norm1 +
+        # QKV + attention + out-proj + residual + norm2 + MLP + residual
+        # — x makes a single HBM round trip); the parameterless norms
+        # fold in, so the param tree is unchanged. Off-TPU / long-
+        # sequence / oversized-weight cases fall back to the two
+        # fused halves, which themselves fall back to plain jnp.
+        attn_mod = TorchMultiheadAttention(
             self.hidden_size, self.num_heads, name="attn",
-            dtype=self.dtype)(x, x, x, fused_ln_self=True)
-        return Mlp(int(self.hidden_size * self.mlp_ratio),
-                   self.hidden_size, name="mlp", dtype=self.dtype)(
-                       x, ln_residual=True)
+            dtype=self.dtype)
+        mlp_mod = Mlp(int(self.hidden_size * self.mlp_ratio),
+                      self.hidden_size, name="mlp", dtype=self.dtype)
+        C = x.shape[-1]
+        M = int(self.hidden_size * self.mlp_ratio)
+        if x.ndim == 3 and jax.default_backend() == "tpu" \
+                and C % 128 == 0 and M % 128 == 0 and x.shape[1] <= 64 \
+                and (4 * C * C + 2 * C * M) * x.dtype.itemsize \
+                    <= 11 * 2**20:
+            w, wo = attn_mod._params(C)
+            fc1, fc2 = mlp_mod._params(C)
+            from vggsfm_tpu.ops.fused_mlp import fused_transformer_block
+
+            B, L, _ = x.shape
+            dt = self.dtype
+            return fused_transformer_block(
+                x.reshape(B * L, C),
+                w["kernel"].astype(dt), w["bias"].astype(dt),
+                wo["kernel"].astype(dt), wo["bias"].astype(dt),
+                fc1["kernel"].astype(dt), fc1["bias"].astype(dt),
+                fc2["kernel"].astype(dt), fc2["bias"].astype(dt),
+                L, self.num_heads).reshape(B, L, C)
+        x = attn_mod(x, x, x, fused_ln_self=True)
+        return mlp_mod(x, ln_residual=True)
 
 
 class CrossAttnBlock(nn.Module):

@@ -91,6 +91,105 @@ def _attn_kernel(x_ref, wi_ref, bi_ref, wo_ref, bo_ref, o_ref, *,
     o_ref[:] = (xn32 + y).astype(x.dtype)
 
 
+def _block_kernel(x_ref, wi_ref, bi_ref, wo_ref, bo_ref, w1_ref, b1_ref,
+                  w2_ref, b2_ref, o_ref, *, L: int, H: int):
+    """Whole pre-LN transformer block in one kernel: attention half
+    (see _attn_kernel) feeding the MLP half (see _kernel) without the
+    intermediate x1 ever leaving VMEM."""
+    x = x_ref[:]
+    R, C = x.shape
+    D = C // H
+    TB = R // L
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=1, keepdims=True)
+    xn32 = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
+    xn = xn32.astype(x.dtype)
+    qkv = jnp.dot(xn, wi_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bi_ref[0].astype(jnp.float32)).astype(x.dtype)
+    q = qkv[:, :C]
+    k = qkv[:, C:2 * C]
+    v = qkv[:, 2 * C:]
+    heads = []
+    scale = 1.0 / (D ** 0.5)
+    for h in range(H):
+        qh = q[:, h * D:(h + 1) * D].reshape(TB, L, D)
+        kh = k[:, h * D:(h + 1) * D].reshape(TB, L, D)
+        vh = v[:, h * D:(h + 1) * D].reshape(TB, L, D)
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s * scale, axis=-1).astype(x.dtype)
+        oh = jax.lax.dot_general(p, vh, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        heads.append(oh.astype(x.dtype).reshape(R, D))
+    att = jnp.concatenate(heads, axis=1)
+    y = jnp.dot(att, wo_ref[:], preferred_element_type=jnp.float32)
+    x1 = xn32 + y + bo_ref[0].astype(jnp.float32)  # f32 (R, C)
+    # ---- MLP half on x1
+    mean2 = jnp.mean(x1, axis=1, keepdims=True)
+    var2 = jnp.mean(jnp.square(x1 - mean2), axis=1, keepdims=True)
+    x1n = ((x1 - mean2) * jax.lax.rsqrt(var2 + 1e-6)).astype(x.dtype)
+    hmid = jnp.dot(x1n, w1_ref[:], preferred_element_type=jnp.float32)
+    hmid = hmid + b1_ref[0].astype(jnp.float32)
+    hmid = _gelu_exact(hmid).astype(x.dtype)
+    y2 = jnp.dot(hmid, w2_ref[:], preferred_element_type=jnp.float32)
+    y2 = y2 + b2_ref[0].astype(jnp.float32)
+    o_ref[:] = (x1 + y2).astype(x.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seq_len", "num_heads", "block_rows",
+                                    "interpret"))
+def fused_transformer_block(x, w_in, b_in, w_out, b_out, w1, b1, w2, b2,
+                            seq_len: int, num_heads: int,
+                            block_rows: int | None = None,
+                            interpret: bool = False):
+    """One whole pre-LN transformer block (attention + MLP halves) as a
+    single Pallas kernel — one HBM read and one write of x per block
+    instead of two (see fused_ln_attn / fused_ln_mlp for the halves).
+    Same layout contract as fused_ln_attn.
+    """
+    R, C = x.shape
+    M = w1.shape[1]
+    L = seq_len
+    if block_rows is None:
+        item = jnp.dtype(x.dtype).itemsize
+        weights = (4 * C * C + 2 * C * M) * item
+        per_row = C * (22 + 6 * item) + M * (4 + item)
+        budget = max(11 * 2**20 - weights, 2**20)
+        block_rows = 1 << max(7, min(11, (budget // per_row)
+                                     .bit_length() - 1))
+    BR = max(L, (min(block_rows, R) // L) * L)
+    pad = (-R) % BR
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    Rp = R + pad
+    dt = x.dtype
+    kern = functools.partial(_block_kernel, L=L, H=num_heads)
+    out = pl.pallas_call(
+        kern,
+        grid=(Rp // BR,),
+        in_specs=[
+            pl.BlockSpec((BR, C), lambda i: (i, 0)),
+            pl.BlockSpec((C, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, M), lambda i: (0, 0)),
+            pl.BlockSpec((1, M), lambda i: (0, 0)),
+            pl.BlockSpec((M, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BR, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Rp, C), dt),
+        interpret=interpret,
+    )(x, w_in.astype(dt), b_in.reshape(1, 3 * C).astype(dt),
+      w_out.astype(dt), b_out.reshape(1, C).astype(dt),
+      w1.astype(dt), b1.reshape(1, M).astype(dt),
+      w2.astype(dt), b2.reshape(1, C).astype(dt))
+    return out[:R] if pad else out
+
+
 @functools.partial(jax.jit,
                    static_argnames=("seq_len", "num_heads", "block_rows",
                                     "interpret"))
