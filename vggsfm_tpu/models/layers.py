@@ -103,8 +103,10 @@ class TorchMultiheadAttention(nn.Module):
         # to f32 via the sincos pos-embed) a 768-wide block's weights
         # alone exceed the 16 MB VMEM — fall back to the jnp path then
         weights_bytes = (kernel.size + out_k.size) * q.dtype.itemsize
+        # L % 8: Mosaic's in-kernel (rows, D) -> (TB, L, D) reshape
+        # needs a sublane-aligned L (odd frame counts fall back)
         if jax.default_backend() == "tpu" and C % 128 == 0 and L <= 64 \
-                and weights_bytes <= 11 * 2**20:
+                and L % 8 == 0 and weights_bytes <= 11 * 2**20:
             from vggsfm_tpu.ops.fused_mlp import fused_ln_attn
 
             return fused_ln_attn(
@@ -203,6 +205,7 @@ class AttnBlock(nn.Module):
         M = int(self.hidden_size * self.mlp_ratio)
         if x.ndim == 3 and jax.default_backend() == "tpu" \
                 and C % 128 == 0 and M % 128 == 0 and x.shape[1] <= 64 \
+                and x.shape[1] % 8 == 0 \
                 and (4 * C * C + 2 * C * M) * x.dtype.itemsize \
                     <= 11 * 2**20:
             w, wo = attn_mod._params(C)

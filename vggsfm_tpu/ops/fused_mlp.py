@@ -159,7 +159,14 @@ def fused_transformer_block(x, w_in, b_in, w_out, b_out, w1, b1, w2, b2,
         budget = max(11 * 2**20 - weights, 2**20)
         block_rows = 1 << max(7, min(11, (budget // per_row)
                                      .bit_length() - 1))
-    BR = max(L, (min(block_rows, R) // L) * L)
+    # blocks must hold whole tracks AND keep the sublane dim divisible
+    # by the dtype tile (16 covers bf16's (16, 128) and f32's (8, 128))
+    # — step in lcm(L, 16) row units (e.g. L=25 frames -> 400-row
+    # steps; plain multiples of 25 fail Pallas lowering)
+    import math
+
+    step = (L * 16) // math.gcd(L, 16)
+    BR = max(step, (min(block_rows, R) // step) * step)
     pad = (-R) % BR
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
@@ -224,7 +231,10 @@ def fused_ln_attn(x, w_in, b_in, w_out, b_out, seq_len: int,
         budget = max(11 * 2**20 - weights, 2**20)
         block_rows = 1 << max(7, min(11, (budget // per_row)
                                      .bit_length() - 1))
-    BR = max(L, (min(block_rows, R) // L) * L)
+    import math
+
+    step = (L * 16) // math.gcd(L, 16)  # see fused_transformer_block
+    BR = max(step, (min(block_rows, R) // step) * step)
     pad = (-R) % BR
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
