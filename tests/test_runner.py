@@ -327,3 +327,63 @@ class TestExtraPoints:
         trackless = [p for p in rec.points3D.values()
                      if len(p.image_ids) == 0]
         assert len(trackless) >= int(extra["valid"].sum())
+
+
+class TestCameraInitCompetition:
+    """The hybrid camera-init score must reject saturated-focal decodes.
+
+    Regression (round 5): an untrained camera head whose focal saturates
+    the pose-decode 0.2x clamp widened the normalized ray fan enough to
+    inflate triangulation angles and outscore the sane two-view chain;
+    BA then walked the focal from 0.2x to 2.27x GT and every pairwise
+    rotation drifted ~0.7 deg/frame (light-config AUC 1.0 -> 0.84)."""
+
+    def _planted(self, focal, seed=0):
+        from vggsfm_tpu.geometry.cameras import build_intrinsics
+
+        rng = np.random.default_rng(seed)
+        S, N, sz = 4, 96, 512.0
+        pts = rng.uniform(-1, 1, size=(N, 3)).astype(np.float32)
+        pts[:, 2] += 4.0
+        extr = np.zeros((S, 3, 4), np.float32)
+        for i in range(S):
+            a = 0.08 * i
+            extr[i, :3, :3] = np.array(
+                [[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                 [-np.sin(a), 0, np.cos(a)]], np.float32)
+            extr[i, :, 3] = [0.3 * i, 0.0, 0.0]
+        intr = np.asarray(build_intrinsics(
+            jnp.full((S, 2), focal), jnp.full((S, 2), sz / 2)))
+        cam = np.einsum("sij,nj->sni", extr[:, :, :3], pts) + extr[:, None, :, 3]
+        uv = cam[..., :2] / cam[..., 2:3]
+        tracks = np.einsum("sij,snj->sni", intr[:, :2, :2], uv) + \
+            intr[:, None, :2, 2]
+        return extr, intr, tracks.astype(np.float32)
+
+    def test_saturated_focal_scores_below_any_support(self):
+        from vggsfm_tpu.runner import _score_camera_init
+
+        extr, intr_good, tracks = self._planted(focal=512.0)
+        S, N = tracks.shape[:2]
+        vis = jnp.ones((S, N), jnp.float32)
+        fm = jnp.ones((S - 1, N), bool)
+        scale = 512.0
+
+        s_good = _score_camera_init(
+            jnp.asarray(extr), jnp.asarray(intr_good), jnp.asarray(tracks),
+            vis, fm, scale)
+        assert int(s_good) > 0
+
+        # same geometry claimed at the decode clamp floor: hard reject,
+        # below even a zero-support competitor
+        _, intr_sat, _ = self._planted(focal=0.2 * scale)
+        s_sat = _score_camera_init(
+            jnp.asarray(extr), jnp.asarray(intr_sat), jnp.asarray(tracks),
+            vis, fm, scale)
+        assert int(s_sat) == -1
+        # ...and at the ceiling clamp too
+        _, intr_hi, _ = self._planted(focal=5.0 * scale)
+        s_hi = _score_camera_init(
+            jnp.asarray(extr), jnp.asarray(intr_hi), jnp.asarray(tracks),
+            vis, fm, scale)
+        assert int(s_hi) == -1

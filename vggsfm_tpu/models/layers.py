@@ -14,9 +14,18 @@ from __future__ import annotations
 
 from typing import Any
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+def _fused_former_enabled() -> bool:
+    """Fused former-block Pallas kernels run on TPU unless disabled with
+    VGGSFM_FUSED_FORMER=0 (numerics A/B / debugging escape hatch)."""
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("VGGSFM_FUSED_FORMER", "1") != "0")
 
 Dtype = Any
 
@@ -105,7 +114,7 @@ class TorchMultiheadAttention(nn.Module):
         weights_bytes = (kernel.size + out_k.size) * q.dtype.itemsize
         # L % 8: Mosaic's in-kernel (rows, D) -> (TB, L, D) reshape
         # needs a sublane-aligned L (odd frame counts fall back)
-        if jax.default_backend() == "tpu" and C % 128 == 0 and L <= 64 \
+        if _fused_former_enabled() and C % 128 == 0 and L <= 64 \
                 and L % 8 == 0 and weights_bytes <= 11 * 2**20:
             from vggsfm_tpu.ops.fused_mlp import fused_ln_attn
 
@@ -166,7 +175,7 @@ class Mlp(nn.Module):
         # resident-weight fit: f32 tokens (camera former) with M = 3072
         # put ~19 MB of weights in VMEM — jnp fallback there
         weights_bytes = (k1.size + k2.size) * x.dtype.itemsize
-        if jax.default_backend() == "tpu" and C % 128 == 0 \
+        if _fused_former_enabled() and C % 128 == 0 \
                 and self.hidden_features % 128 == 0 \
                 and weights_bytes <= 11 * 2**20:
             from vggsfm_tpu.ops.fused_mlp import fused_ln_mlp
@@ -203,7 +212,7 @@ class AttnBlock(nn.Module):
                       self.hidden_size, name="mlp", dtype=self.dtype)
         C = x.shape[-1]
         M = int(self.hidden_size * self.mlp_ratio)
-        if x.ndim == 3 and jax.default_backend() == "tpu" \
+        if x.ndim == 3 and _fused_former_enabled() \
                 and C % 128 == 0 and M % 128 == 0 and x.shape[1] <= 64 \
                 and x.shape[1] % 8 == 0 \
                 and (4 * C * C + 2 * C * M) * x.dtype.itemsize \

@@ -55,7 +55,7 @@ def _stage(timings: dict, name: str, annotate: bool):
     timings[name] = time.time() - t0
 
 
-def _score_camera_init(extr, intr, tracks, vis, fmat_mask):
+def _score_camera_init(extr, intr, tracks, vis, fmat_mask, focal_scale):
     """Init-pair support under a candidate camera set.
 
     Counts, for the best partner frame, the tracks that are epipolar
@@ -63,11 +63,25 @@ def _score_camera_init(extr, intr, tracks, vis, fmat_mask):
     angle >= 2 deg) — the same quantities `find_best_initial_pair` ranks
     with. A failed camera prediction (wild focal / wrong geometry) scores
     near zero, letting the runner fall back to two-view initialization.
+
+    The triangulation-angle criterion is not focal-fair: an implausibly
+    SMALL focal widens the normalized ray fan, inflating apparent
+    tri-angles, so an untrained camera head whose focal saturates the
+    decoder's 0.2x/5x clamp (cameras.py pose_encoding_to_extri_intri)
+    can outscore a sane two-view chain and then drag the whole BA focal
+    solve off (observed: init f=0.2*scale -> BA f=2.27x GT, pairwise
+    rotation drift 0.72 deg/frame). A focal at/near the clamp boundary
+    is a saturated decode, never a real estimate — zero its score.
     """
     tracks_norm = cam_from_img(tracks, intr)
     _, cheir, tri = triangulate_by_pair(jnp.asarray(extr), tracks_norm)
     inl = fmat_mask & (vis > 0.05)[1:] & cheir & (tri >= 2.0)
-    return jnp.max(jnp.sum(inl, axis=-1))
+    f = intr[..., 0, 0]
+    saturated = jnp.any((f <= 0.21 * focal_scale)
+                        | (f >= 4.9 * focal_scale))
+    # -1 (not 0) so a saturated candidate loses even to a zero-support
+    # competitor under the `s_n >= s_t` neural-preferring tie-break
+    return jnp.where(saturated, -1, jnp.max(jnp.sum(inl, axis=-1)))
 
 
 @dataclasses.dataclass
@@ -858,8 +872,11 @@ class VGGSfMRunner:
         # score both candidates and select IN-GRAPH: no host round-trip,
         # and the winner flows straight into run_sfm's dispatch queue
         def _select(extr_n, intr_n, extr_t, intr_t, tr, vi, fm):
-            s_n = _score_camera_init(extr_n, intr_n, tr, vi, fm)
-            s_t = _score_camera_init(extr_t, intr_t, tr, vi, fm)
+            # the two-view default focal max(W,H) is the decode scale the
+            # neural head's 0.2x/5x clamp is expressed in
+            scale = intr_t[0, 0, 0]
+            s_n = _score_camera_init(extr_n, intr_n, tr, vi, fm, scale)
+            s_t = _score_camera_init(extr_t, intr_t, tr, vi, fm, scale)
             c = s_n >= s_t
             return (jnp.where(c, extr_n, extr_t),
                     jnp.where(c, intr_n, intr_t))
